@@ -1,0 +1,202 @@
+"""Polygon collections: CSR layout, reference text format, generators.
+
+Mirrors the reference's polygon handling (RasterJoin/db/PolyHandler.cpp):
+- text format: ``total``, then per polygon ``#rings``, per ring ``#verts``
+  then ``x y`` pairs; consecutive duplicate vertices dropped, closing
+  vertex dropped, rings concatenated (PolyHandler.cpp:133-176)
+- flat CSR representation: ``verts`` float (TotalV,2) + ``offsets``
+  (P+1,) start indices (PolyHandler.cpp:49-80 ``polys``/``pindexes``)
+- per-polygon MBRs for grid cover (GridIndexF.cpp:83-125)
+
+Polygons are assumed to fit in driver memory and are broadcast to
+executors (PolyHandler.hpp:26-29 makes the same assumption for the GPU);
+at 100 TB scale the points are the big side — polygon sets are a few MB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class PolygonSet:
+    verts: np.ndarray  # (TotalV, 2) float64
+    offsets: np.ndarray  # (P+1,) int64
+    name: str = "polys"
+    _mbrs: np.ndarray | None = field(default=None, repr=False)
+
+    # -- constructors ---------------------------------------------------
+
+    @staticmethod
+    def from_list(polys: list[list[tuple[float, float]]], name: str = "polys") -> "PolygonSet":
+        """Build from vertex lists, applying the reference's cleanup rules
+        (PolyHandler.cpp:150-167): drop consecutive duplicates and the
+        closing vertex if it repeats the first."""
+        cleaned: list[np.ndarray] = []
+        for poly in polys:
+            pts: list[tuple[float, float]] = []
+            for k, pt in enumerate(poly):
+                if k > 0 and pt == pts[-1]:
+                    continue
+                pts.append(tuple(pt))
+            if len(pts) > 1 and pts[0] == pts[-1]:
+                pts.pop()
+            cleaned.append(np.asarray(pts, dtype=np.float64))
+        offsets = np.zeros(len(cleaned) + 1, dtype=np.int64)
+        for i, c in enumerate(cleaned):
+            offsets[i + 1] = offsets[i] + len(c)
+        verts = (
+            np.concatenate(cleaned, axis=0) if cleaned else np.empty((0, 2), np.float64)
+        )
+        return PolygonSet(verts=verts, offsets=offsets, name=name)
+
+    @staticmethod
+    def load_text(path: str, name: str = "polys") -> "PolygonSet":
+        """Parse the reference's polygon text format (PolyHandler.cpp:133-176)."""
+        with open(path) as f:
+            tokens = f.read().split()
+        it = iter(tokens)
+        total = int(next(it))
+        polys: list[list[tuple[float, float]]] = []
+        for _ in range(total):
+            n_rings = int(next(it))
+            poly: list[tuple[float, float]] = []
+            for _ in range(n_rings):
+                n_verts = int(next(it))
+                for _ in range(n_verts):
+                    x = float(next(it))
+                    y = float(next(it))
+                    poly.append((x, y))
+            polys.append(poly)
+        return PolygonSet.from_list(polys, name=name)
+
+    def save_text(self, path: str) -> None:
+        """Write the reference's text format (one ring per polygon)."""
+        lines = [str(self.n_polys)]
+        for p in range(self.n_polys):
+            pv = self.poly_verts(p)
+            lines.append("1")
+            lines.append(str(len(pv)))
+            for x, y in pv:
+                lines.append(f"{x!r} {y!r}")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    # -- accessors -------------------------------------------------------
+
+    @property
+    def n_polys(self) -> int:
+        return len(self.offsets) - 1
+
+    def poly_verts(self, p: int) -> np.ndarray:
+        return self.verts[self.offsets[p] : self.offsets[p + 1]]
+
+    @property
+    def mbrs(self) -> np.ndarray:
+        """(P, 4) [minx, miny, maxx, maxy]."""
+        if self._mbrs is None:
+            m = np.empty((self.n_polys, 4), dtype=np.float64)
+            for p in range(self.n_polys):
+                pv = self.poly_verts(p)
+                m[p] = [pv[:, 0].min(), pv[:, 1].min(), pv[:, 0].max(), pv[:, 1].max()]
+            self._mbrs = m
+        return self._mbrs
+
+    @property
+    def bbox(self) -> tuple[float, float, float, float]:
+        m = self.mbrs
+        return (
+            float(m[:, 0].min()),
+            float(m[:, 1].min()),
+            float(m[:, 2].max()),
+            float(m[:, 3].max()),
+        )
+
+    def transform(self, fn) -> "PolygonSet":
+        """Apply a coordinate transform fn(x_arr, y_arr) -> (x', y')
+        (e.g. lat/lon -> world, cf. transformPolygon UsefulFuncs.cpp:612-623)."""
+        x, y = fn(self.verts[:, 0], self.verts[:, 1])
+        return PolygonSet(
+            verts=np.stack([np.asarray(x, np.float64), np.asarray(y, np.float64)], axis=1),
+            offsets=self.offsets.copy(),
+            name=self.name,
+        )
+
+    def as_float32(self) -> "PolygonSet":
+        """Narrow vertices to float32 then back — reproduces the precision of
+        the reference's GPU vertex buffers (PolyHandler.cpp:49-64 stores
+        float)."""
+        return PolygonSet(
+            verts=self.verts.astype(np.float32).astype(np.float64),
+            offsets=self.offsets.copy(),
+            name=self.name,
+        )
+
+
+# -- deterministic generators (seeded; no external data) -----------------
+
+
+def grid_polygons(
+    n: int,
+    x0: float,
+    y0: float,
+    x1: float,
+    y1: float,
+    jitter: float = 0.0,
+    seed: int = 42,
+    name: str = "synthetic",
+) -> PolygonSet:
+    """n jittered rectangles tiling the box — mirrors the reference's
+    synthetic polygon sweep (experiments/run-scripts/raster-polygons.ps1:22,
+    --polygonDataset 128..65536)."""
+    side = int(np.ceil(np.sqrt(n)))
+    rng = np.random.RandomState(seed)
+    w = (x1 - x0) / side
+    h = (y1 - y0) / side
+    polys = []
+    for i in range(n):
+        gx = i % side
+        gy = i // side
+        lx = x0 + gx * w
+        ly = y0 + gy * h
+        j = rng.uniform(-jitter, jitter, size=8) * min(w, h) if jitter > 0 else np.zeros(8)
+        polys.append(
+            [
+                (lx + j[0], ly + j[1]),
+                (lx + w + j[2], ly + j[3]),
+                (lx + w + j[4], ly + h + j[5]),
+                (lx + j[6], ly + h + j[7]),
+            ]
+        )
+    return PolygonSet.from_list(polys, name=name)
+
+
+def blob_polygons(
+    n: int,
+    x0: float,
+    y0: float,
+    x1: float,
+    y1: float,
+    n_verts: int = 8,
+    seed: int = 42,
+    name: str = "neigh",
+) -> PolygonSet:
+    """n irregular star-convex polygons (random radial blobs) — the
+    NYC-neighborhood-style fixture (FIXTURES.md §2); includes concave
+    shapes whenever radial jitter makes a vertex dip inward."""
+    rng = np.random.RandomState(seed)
+    side = int(np.ceil(np.sqrt(n)))
+    w = (x1 - x0) / side
+    h = (y1 - y0) / side
+    polys = []
+    for i in range(n):
+        cx = x0 + (i % side + 0.5) * w
+        cy = y0 + (i // side + 0.5) * h
+        ang = np.sort(rng.uniform(0, 2 * np.pi, size=n_verts))
+        rad = rng.uniform(0.25, 0.48, size=n_verts)
+        xs = cx + np.cos(ang) * rad * w
+        ys = cy + np.sin(ang) * rad * h
+        polys.append(list(zip(xs.tolist(), ys.tolist())))
+    return PolygonSet.from_list(polys, name=name)

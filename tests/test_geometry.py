@@ -1,0 +1,298 @@
+"""Unit tests for the geometry core (pure numpy; no Spark session).
+
+Kernels under test mirror reference semantics:
+- mercator: RasterJoin/common/Utils.h:9-27, UsefulFuncs.cpp:578-607
+- PIP rule: RasterJoin/shaders/index.glsl:47-67 (half-open crossing)
+- grid math: shaders/index.glsl:229-233, create-index.glsl:34-68
+- cell classification: CPUJoin/GridIndexF.cpp:461-511
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from raster_join_spark.geo.classify import BOUNDARY, INTERIOR, classify_cells
+from raster_join_spark.geo.grid import GridSpec
+from raster_join_spark.geo.mercator import (
+    US_BOUNDS,
+    epsilon_to_cell_size,
+    geo2world_np,
+    ground_resolution,
+    transform_points_np,
+    world2geo_np,
+)
+from raster_join_spark.geo.pip import pip_candidates, pip_mask, pip_multi
+from raster_join_spark.geo.polygons import PolygonSet, blob_polygons, grid_polygons
+
+
+# ---------------------------------------------------------------- mercator
+
+
+def test_geo2world_known_values():
+    # lon +180 -> x = 256*2^22; lat 0 -> y = 128*2^22 (equator mid-canvas)
+    x, y = geo2world_np(np.array([0.0]), np.array([180.0]))
+    assert x[0] == pytest.approx(256.0 * 2**22)
+    assert y[0] == pytest.approx(128.0 * 2**22)
+    # poles special-cased (Utils.h:11-14)
+    _, y90 = geo2world_np(np.array([90.0]), np.array([0.0]))
+    _, ym90 = geo2world_np(np.array([-90.0]), np.array([0.0]))
+    assert y90[0] == 256.0 * 2**22
+    assert ym90[0] == 0.0
+
+
+def test_world2geo_roundtrip():
+    rng = np.random.RandomState(7)
+    lat = rng.uniform(US_BOUNDS.minlat, US_BOUNDS.maxlat, 1000)
+    lon = rng.uniform(US_BOUNDS.minlon, US_BOUNDS.maxlon, 1000)
+    x, y = geo2world_np(lat, lon)
+    lat2, lon2 = world2geo_np(x, y)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+
+
+def test_transform_points_bounds_filter_and_f32():
+    lat = np.array([40.7, 10.0, 60.0, 30.0])
+    lon = np.array([-74.0, -100.0, -100.0, -200.0])
+    keep, x, y = transform_points_np(lat, lon)
+    assert keep.tolist() == [True, False, False, False]
+    assert x.dtype == np.float32 and y.dtype == np.float32
+
+
+def test_ground_resolution_value():
+    # cos(36.89°)*6378137*2π/2^30 ≈ 0.0298 m per world unit at zoom 22
+    gr = ground_resolution()
+    clat = (US_BOUNDS.minlat + US_BOUNDS.maxlat) / 2
+    expected = math.cos(math.radians(clat)) * 6378137 * 2 * math.pi / 2**30
+    assert gr == pytest.approx(expected)
+    assert 0.02 < gr < 0.04
+
+
+def test_epsilon_cell_size():
+    # eps=10m -> cellSize=(10/sqrt2)/gr world units (GLFunction.cpp:26-30)
+    cs = epsilon_to_cell_size(10.0)
+    assert cs == pytest.approx((10 / math.sqrt(2)) / ground_resolution())
+
+
+# ---------------------------------------------------------------- grid
+
+
+def test_cell_ids_row_major_and_oob():
+    g = GridSpec(0.0, 0.0, 1.0, 1.0, 4, 3)
+    x = np.array([0.5, 3.5, 0.5, 3.99, -0.1, 4.0, 0.0])
+    y = np.array([0.5, 0.5, 2.5, 2.99, 0.5, 0.5, 3.0])
+    ids = g.cell_ids_np(x, y)
+    assert ids.tolist() == [0, 3, 8, 11, -1, -1, -1]
+
+
+def test_mbr_cell_range_matches_reference_formula():
+    g = GridSpec(0.0, 0.0, 1.0, 1.0, 10, 10)
+    # st=floor(min/cs), en=floor(max/cs)+1 clamped (create-index.glsl:34-68)
+    assert g.mbr_cell_range(2.3, 3.0, 4.0, 5.7) == (2, 3, 5, 6)
+    assert g.mbr_cell_range(-5.0, -5.0, 50.0, 50.0) == (0, 0, 10, 10)
+
+
+def test_ring_cells():
+    g = GridSpec(0.0, 0.0, 1.0, 1.0, 5, 5)
+    assert g.ring_cells(2, 2, 0) == [12]
+    r1 = set(g.ring_cells(2, 2, 1))
+    assert r1 == {6, 7, 8, 11, 13, 16, 17, 18}
+    # corner clamping
+    r_corner = set(g.ring_cells(0, 0, 1))
+    assert r_corner == {1, 5, 6}
+
+
+def test_cell_centers():
+    g = GridSpec(10.0, 20.0, 2.0, 3.0, 4, 4)
+    cx, cy = g.cell_centers_np(np.array([0, 5]))
+    assert cx.tolist() == [11.0, 13.0]
+    assert cy.tolist() == [21.5, 24.5]
+
+
+# ---------------------------------------------------------------- PIP
+
+
+UNIT_SQ = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+
+
+def test_pip_square_basic():
+    px = np.array([0.5, 1.5, -0.5, 0.5])
+    py = np.array([0.5, 0.5, 0.5, 1.5])
+    assert pip_mask(px, py, UNIT_SQ).tolist() == [True, False, False, False]
+
+
+def test_pip_half_open_rule_on_edges():
+    """The reference rule (index.glsl:47-67) is half-open: the bottom-left
+    edges count as inside, top/right as outside — verified against a
+    literal transcription of the C loop."""
+
+    def c_rule(x, y, verts):
+        nvert = len(verts)
+        c = False
+        j = nvert - 1
+        for i in range(nvert):
+            vix, viy = verts[i]
+            vjx, vjy = verts[j]
+            if (viy > y) != (vjy > y) and x < (vjx - vix) * (y - viy) / (vjy - viy) + vix:
+                c = not c
+            j = i
+        return c
+
+    pts = [
+        (0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0),  # corners
+        (0.5, 0.0), (0.5, 1.0), (0.0, 0.5), (1.0, 0.5),  # edge midpoints
+        (0.5, 0.5),
+    ]
+    for x, y in pts:
+        got = pip_mask(np.array([x]), np.array([y]), UNIT_SQ)[0]
+        assert got == c_rule(x, y, UNIT_SQ), (x, y)
+
+
+def test_pip_concave():
+    # concave "L" shape
+    L = np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3]], dtype=float)
+    px = np.array([0.5, 2.0, 2.0, 0.5])
+    py = np.array([0.5, 0.5, 2.0, 2.0])
+    assert pip_mask(px, py, L).tolist() == [True, True, False, True]
+
+
+def test_pip_vs_bruteforce_random():
+    rng = np.random.RandomState(3)
+    ps = blob_polygons(4, 0, 0, 10, 10, n_verts=9, seed=5)
+    px = rng.uniform(0, 10, 500)
+    py = rng.uniform(0, 10, 500)
+    pt_idx, poly_ids = pip_multi(px, py, ps.verts, ps.offsets)
+    # cross-check with per-polygon mask
+    for p in range(ps.n_polys):
+        m = pip_mask(px, py, ps.poly_verts(p))
+        got = set(pt_idx[poly_ids == p].tolist())
+        assert got == set(np.nonzero(m)[0].tolist())
+
+
+def test_pip_candidates_matches_full():
+    rng = np.random.RandomState(11)
+    ps = grid_polygons(9, 0, 0, 9, 9)
+    px = rng.uniform(0, 9, 300)
+    py = rng.uniform(0, 9, 300)
+    cand = rng.randint(0, 9, 300)
+    mask = pip_candidates(px, py, cand, ps.verts, ps.offsets)
+    for i in range(300):
+        expect = pip_mask(px[i : i + 1], py[i : i + 1], ps.poly_verts(cand[i]))[0]
+        assert mask[i] == expect
+
+
+def test_pip_float32_vs_float64_stability():
+    """Points far from edges agree between f32 (reference storage) and f64."""
+    rng = np.random.RandomState(4)
+    ps = blob_polygons(2, 0, 0, 4, 4, seed=9)
+    px = rng.uniform(0, 4, 400)
+    py = rng.uniform(0, 4, 400)
+    for p in range(ps.n_polys):
+        m64 = pip_mask(px, py, ps.poly_verts(p), dtype=np.float64)
+        m32 = pip_mask(px, py, ps.poly_verts(p), dtype=np.float32)
+        # random points essentially never fall within f32-eps of an edge
+        assert (m64 == m32).mean() > 0.99
+
+
+# ------------------------------------------------------ polygon collection
+
+
+def test_polyset_cleanup_rules():
+    # duplicate consecutive + closing vertex dropped (PolyHandler.cpp:150-167)
+    ps = PolygonSet.from_list([[(0, 0), (1, 0), (1, 0), (1, 1), (0, 0)]])
+    assert ps.n_polys == 1
+    assert len(ps.poly_verts(0)) == 3
+
+
+def test_polyset_text_roundtrip(tmp_path):
+    ps = blob_polygons(3, 0, 0, 10, 10, seed=2)
+    path = str(tmp_path / "polys.txt")
+    ps.save_text(path)
+    ps2 = PolygonSet.load_text(path)
+    assert ps2.n_polys == 3
+    np.testing.assert_allclose(ps2.verts, ps.verts)
+
+
+def test_polyset_mbrs_and_bbox():
+    ps = grid_polygons(4, 0, 0, 2, 2)
+    assert ps.mbrs.shape == (4, 4)
+    assert ps.bbox == (0.0, 0.0, 2.0, 2.0)
+
+
+# --------------------------------------------------------- classification
+
+
+def test_classify_simple_square():
+    """One axis-aligned square [1,3]² on a 4x4 unit grid: cell (1..2,1..2)
+    region — cells fully inside are interior, the ring is boundary."""
+    ps = PolygonSet.from_list([[(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0)]])
+    g = GridSpec(0.0, 0.0, 1.0, 1.0, 4, 4)
+    t = classify_cells(g, ps)
+    kinds = dict(zip(t.cls_cell.tolist(), t.cls_kind.tolist()))
+    # the square's edges lie exactly on the grid lines of cells 5,6,9,10
+    # -> those cells' rects touch the polygon edges, so they are boundary
+    for c in (5, 6, 9, 10):
+        assert kinds[c] == BOUNDARY
+    # cover = center-inside: centers (1.5,1.5),(2.5,1.5),(1.5,2.5),(2.5,2.5)
+    assert set(t.cover_cell.tolist()) == {5, 6, 9, 10}
+
+
+def test_classify_interior_exists_bigger_poly():
+    ps = PolygonSet.from_list([[(0.5, 0.5), (7.5, 0.5), (7.5, 7.5), (0.5, 7.5)]])
+    g = GridSpec(0.0, 0.0, 1.0, 1.0, 8, 8)
+    t = classify_cells(g, ps)
+    kinds = dict(zip(t.cls_cell.tolist(), t.cls_kind.tolist()))
+    assert kinds[8 * 3 + 3] == INTERIOR
+    assert kinds[0] == BOUNDARY
+    # fraction of corner cell = 0.25 (quarter covered)
+    fr = dict(zip(t.cls_cell.tolist(), t.cls_frac.tolist()))
+    assert fr[0] == pytest.approx(0.25)
+    assert fr[8 * 3 + 3] == 1.0
+
+
+def test_classification_consistent_with_pip_sampling():
+    """Property: any point whose cell is interior for p must be inside p;
+    any point inside p must fall in an interior or boundary cell of p."""
+    rng = np.random.RandomState(21)
+    ps = blob_polygons(6, 0, 0, 12, 12, n_verts=10, seed=13)
+    g = GridSpec(0.0, 0.0, 0.25, 0.25, 48, 48)
+    t = classify_cells(g, ps)
+    interior = set(zip(t.cls_cell.tolist(), t.cls_poly.tolist()))
+    int_only = {
+        (c, p)
+        for c, p, k in zip(t.cls_cell.tolist(), t.cls_poly.tolist(), t.cls_kind.tolist())
+        if k == INTERIOR
+    }
+    px = rng.uniform(0, 12, 2000)
+    py = rng.uniform(0, 12, 2000)
+    cells = g.cell_ids_np(px, py)
+    for p in range(ps.n_polys):
+        inside = pip_mask(px, py, ps.poly_verts(p))
+        for i in range(len(px)):
+            if (int(cells[i]), p) in int_only:
+                assert inside[i], f"interior cell but point outside poly {p}"
+            if inside[i]:
+                assert (int(cells[i]), p) in interior, "inside point in unclassified cell"
+
+
+def test_candidates_superset_of_cover():
+    ps = blob_polygons(4, 0, 0, 8, 8, seed=3)
+    g = GridSpec(0.0, 0.0, 0.5, 0.5, 16, 16)
+    t = classify_cells(g, ps)
+    cand = set(zip(t.cand_cell.tolist(), t.cand_poly.tolist()))
+    cover = set(zip(t.cover_cell.tolist(), t.cover_poly.tolist()))
+    cls = set(zip(t.cls_cell.tolist(), t.cls_poly.tolist()))
+    assert cover <= cand
+    assert cls <= cand
+
+
+def test_boundary_fraction_in_unit_range():
+    ps = blob_polygons(3, 0, 0, 6, 6, seed=17)
+    g = GridSpec(0.0, 0.0, 0.5, 0.5, 12, 12)
+    t = classify_cells(g, ps)
+    b = t.cls_kind == BOUNDARY
+    assert (t.cls_frac[b] >= 0.0).all() and (t.cls_frac[b] <= 1.0).all()
+    # interior cells carry fraction 1
+    assert (t.cls_frac[~b] == 1.0).all()
