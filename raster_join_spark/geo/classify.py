@@ -49,11 +49,12 @@ class PolyGridTables:
     # (cell_id, poly_id) where cell center is inside poly  [raster cover]
     cover_cell: np.ndarray
     cover_poly: np.ndarray
-    # (cell_id, poly_id, kind, inside_frac) for interior+boundary cells
+    # (cell_id, poly_id, kind, inside_frac, center_in) for interior+boundary cells
     cls_cell: np.ndarray
     cls_poly: np.ndarray
     cls_kind: np.ndarray
     cls_frac: np.ndarray
+    cls_center_in: np.ndarray  # raster attribution flag (center-inside)
     # (cell_id, poly_id) MBR-cover candidates [index-join superset]
     cand_cell: np.ndarray
     cand_poly: np.ndarray
@@ -62,9 +63,9 @@ class PolyGridTables:
         m = self.cls_kind == INTERIOR
         return self.cls_cell[m], self.cls_poly[m]
 
-    def boundary_pairs(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def boundary_pairs(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         m = self.cls_kind == BOUNDARY
-        return self.cls_cell[m], self.cls_poly[m], self.cls_frac[m]
+        return self.cls_cell[m], self.cls_poly[m], self.cls_frac[m], self.cls_center_in[m]
 
 
 def _segments_intersect_rect(
@@ -116,6 +117,7 @@ def classify_cells(
     cls_p: list[np.ndarray] = []
     cls_k: list[np.ndarray] = []
     cls_f: list[np.ndarray] = []
+    cls_ci: list[np.ndarray] = []
     cand_c: list[np.ndarray] = []
     cand_p: list[np.ndarray] = []
 
@@ -187,6 +189,7 @@ def classify_cells(
         cls_p.append(np.full(int(keep.sum()), p, np.int64))
         cls_k.append(np.where(boundary[keep], BOUNDARY, INTERIOR).astype(np.int32))
         cls_f.append(np.where(boundary[keep], frac[keep], 1.0))
+        cls_ci.append(center_in[keep])
 
     def cat(parts, dt):
         return np.concatenate(parts) if parts else np.empty(0, dt)
@@ -198,6 +201,7 @@ def classify_cells(
         cls_poly=cat(cls_p, np.int64),
         cls_kind=cat(cls_k, np.int32),
         cls_frac=cat(cls_f, np.float64),
+        cls_center_in=cat(cls_ci, np.bool_),
         cand_cell=cat(cand_c, np.int64),
         cand_poly=cat(cand_p, np.int64),
     )

@@ -1,0 +1,128 @@
+"""kNN via iterative cell-ring expansion (reference J6 generalized).
+
+The reference ships the single-ring probe primitive
+(CPUJoin/GridIndexF.cpp:177-198: scan the cell ring around the query,
+ellipse-filter) but never wires it to a CLI; the north_rule asks for the
+full operator: grow the ring until the k-th candidate's distance is
+certified complete.
+
+Spark plan per round r:
+  1. driver enumerates the disk of cells within Chebyshev radius r of each
+     query point (tiny literal table, broadcast)
+  2. broadcast hash join against the points on cell_id — the big side
+     never shuffles
+  3. per-query candidate count + k-th distance checked on the driver
+     (a k-row collect); round terminates when kth_dist <= (r * cell_min)^2
+     — any point in an unvisited cell is at least r*cell_min away, so the
+     top-k is certified exact.
+  4. final exact top-k by window rank over the certified candidate set.
+
+Distances are squared Euclidean with the same op order as the SQL oracle:
+(x-qx)*(x-qx) + (y-qy)*(y-qy) — exact integers in microdegree space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from raster_join_spark.geo.grid import GridSpec
+
+
+def knn_join(
+    spark: SparkSession,
+    points: DataFrame,
+    grid: GridSpec,
+    queries: list[tuple[int, float, float]],
+    k: int,
+    x: str = "x",
+    y: str = "y",
+    id_col: str = "event_id",
+    max_radius: int | None = None,
+) -> DataFrame:
+    """Exact k nearest points per query point. Returns
+    (q_id, {id_col}, rank, dist2) with rank 1..k ordered by
+    (dist2, id) — the id tiebreak keeps results deterministic.
+    """
+    if max_radius is None:
+        max_radius = max(grid.nx, grid.ny)
+    cell_min = min(grid.cell_w, grid.cell_h)
+
+    pts = points.withColumn("cell_id", grid.cell_id_col(F.col(x), F.col(y))).filter(
+        F.col("cell_id").isNotNull()
+    )
+    # cache: probed once per expansion round
+    pts = pts.persist()
+    try:
+        qxp = {q: int((qx - grid.x0) // grid.cell_w) for q, qx, _ in queries}
+        qyp = {q: int((qy - grid.y0) // grid.cell_h) for q, _, qy in queries}
+        qpos = {q: (qx, qy) for q, qx, qy in queries}
+        pending = {q for q, _, _ in queries}
+
+        r = 0
+        result: DataFrame | None = None
+        while pending and r <= max_radius:
+            # disk of cells within Chebyshev radius r for each pending query
+            rows = []
+            for q in pending:
+                for rr in range(r + 1):
+                    for c in grid.ring_cells(qxp[q], qyp[q], rr):
+                        rows.append((q, c))
+            if not rows:
+                r += 1
+                continue
+            cand_cells = spark.createDataFrame(
+                rows,
+                T.StructType(
+                    [
+                        T.StructField("q_id", T.LongType(), False),
+                        T.StructField("cell_id", T.LongType(), False),
+                    ]
+                ),
+            )
+            cand = pts.join(F.broadcast(cand_cells), "cell_id", "inner")
+            qlit = spark.createDataFrame(
+                [(q, qpos[q][0], qpos[q][1]) for q in pending],
+                T.StructType(
+                    [
+                        T.StructField("q_id", T.LongType(), False),
+                        T.StructField("qx", T.DoubleType(), False),
+                        T.StructField("qy", T.DoubleType(), False),
+                    ]
+                ),
+            )
+            cand = cand.join(F.broadcast(qlit), "q_id", "inner").withColumn(
+                "dist2",
+                (F.col(x) - F.col("qx")) * (F.col(x) - F.col("qx"))
+                + (F.col(y) - F.col("qy")) * (F.col(y) - F.col("qy")),
+            )
+            w = Window.partitionBy("q_id").orderBy(F.col("dist2"), F.col(id_col))
+            topk = (
+                cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("q_id", id_col, "rank", "dist2")
+            )
+            # certification: kth distance must be <= (r*cell_min)^2, else
+            # an unvisited cell could still hold a closer point
+            status = (
+                topk.groupBy("q_id")
+                .agg(F.count(F.lit(1)).alias("n"), F.max("dist2").alias("kth"))
+                .collect()
+            )
+            certified = {
+                row["q_id"]
+                for row in status
+                if row["n"] >= k and row["kth"] <= (r * cell_min) ** 2
+            }
+            if r >= max_radius:
+                certified = set(pending)  # grid exhausted: all candidates seen
+            if certified:
+                done = topk.filter(F.col("q_id").isin([int(c) for c in certified]))
+                result = done if result is None else result.unionByName(done)
+                pending -= certified
+            r += 1
+        assert result is not None, "no kNN results produced"
+        return result
+    finally:
+        pts.unpersist()

@@ -1,0 +1,333 @@
+"""The four spatial-join strategies of the reference, as Spark plans.
+
+Reference physical operators -> our logical plans (all share two
+driver-built broadcast artifacts: the rasterized polygon-grid tables from
+geo/classify.py and the flat CSR polygon arrays):
+
+- **index_join** (J2, RasterJoin/join/IndexJoin.cpp:52-198 + grid probe
+  shaders/index.glsl:186-249): point -> cell -> broadcast-join MBR
+  candidate lists -> exact ray-cast PIP (Arrow-vectorized pandas UDF)
+  -> groupBy(poly_id). Accurate.
+- **raster_join** (J1, RasterJoin/join/RasterJoin.cpp:91-260): points
+  pre-aggregated per cell (the "point rasterization" pass becomes a
+  map-side-combined groupBy(cell)) -> broadcast-join the center-inside
+  cover table (the "polygon rasterization" pass, computed once on the
+  driver) -> re-aggregate per polygon. Approximate within epsilon.
+- **hybrid_join** (J3, RasterJoin/join/HybridJoin.cpp:339-359,
+  shaders/hybrid.glsl:224-301): interior-cell points resolve by broadcast
+  map-join alone (no PIP); boundary-cell points go through the exact PIP
+  path; union. Accurate, faster than index_join when boundaries are thin.
+- **error_bounds** (J4, RasterJoin/join/RasterJoinBounds.cpp:202-381,
+  shaders/line-bound.frag:219-262): raster result plus per-polygon
+  [agg-fp, agg+fn] intervals from boundary-cell accounting — both the
+  whole-pixel (fp1/fn1) and the area-fraction-weighted (fp/fn) variants.
+
+Scale design (the part that matters at 100 TB / 1000 executors):
+- The polygon side is ALWAYS broadcast (a few MB); the point side never
+  shuffles for the join itself — candidate expansion is a map-side
+  broadcast hash join.
+- groupBy(cell) and groupBy(poly_id) both enjoy partial (map-side)
+  aggregation, so hot NYC-style cells collapse to <=1 row per task
+  before the exchange: the shuffle volume is O(distinct cells per task),
+  NOT O(points). This is the same trick as the reference's per-thread
+  partial vectors (CPUJoin.cpp:93-116), which Spark gives us for free.
+- The only Python in the plan is the PIP kernel over boundary points,
+  Arrow-batched, vectorized over points x edges in numpy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from raster_join_spark.geo.classify import (
+    BOUNDARY,
+    INTERIOR,
+    POLY_GRID_CACHE,
+    PolyGridTables,
+)
+from raster_join_spark.geo.grid import GridSpec
+from raster_join_spark.geo.pip import pip_candidates
+from raster_join_spark.geo.polygons import PolygonSet
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """Aggregation parity with the reference (Common.h:26 {Count, Avg, Sum},
+    DataHandler.cpp:68-71). ``col=None`` -> COUNT(*)."""
+
+    op: str = "count"  # count | sum | avg
+    col: str | None = None
+    alias: str = "agg"
+
+    def exprs(self, cnt_col: str = "_cnt", sum_col: str = "_sum") -> list[Column]:
+        """Final-stage expressions over per-cell partials."""
+        if self.op == "count":
+            return [F.sum(cnt_col).alias(self.alias)]
+        if self.op == "sum":
+            return [F.sum(sum_col).alias(self.alias)]
+        if self.op == "avg":
+            return [(F.sum(sum_col) / F.sum(cnt_col)).alias(self.alias)]
+        raise ValueError(f"unknown agg {self.op}")
+
+
+class SpatialJoin:
+    """One polygon collection + one grid, four join strategies.
+
+    Builds the broadcast artifacts once (driver-side numpy rasterization,
+    memoized in POLY_GRID_CACHE), then exposes the strategies as
+    DataFrame -> DataFrame operators.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        polyset: PolygonSet,
+        grid: GridSpec,
+        x: str = "x",
+        y: str = "y",
+    ) -> None:
+        self.spark = spark
+        self.polyset = polyset
+        self.grid = grid
+        self.x = x
+        self.y = y
+        self.tables: PolyGridTables = POLY_GRID_CACHE.get(grid, polyset)
+        # flat CSR polygon arrays broadcast to every executor once —
+        # the analogue of the reference's GPU polygon textures
+        # (GLFunction.cpp:158-197); a few MB even at 65k polygons.
+        self._bc_polys = spark.sparkContext.broadcast(
+            (polyset.verts, polyset.offsets)
+        )
+
+    # ------------------------------------------------------------ helpers
+
+    def _pairs_df(self, cell: np.ndarray, poly: np.ndarray, extra: dict | None = None) -> DataFrame:
+        data = {"cell_id": cell.astype(np.int64), "poly_id": poly.astype(np.int64)}
+        for k, (arr, _) in (extra or {}).items():
+            data[k] = arr
+        schema = T.StructType(
+            [
+                T.StructField("cell_id", T.LongType(), False),
+                T.StructField("poly_id", T.LongType(), False),
+            ]
+            + [
+                T.StructField(k, dt, False)
+                for k, (_, dt) in (extra or {}).items()
+            ]
+        )
+        return self.spark.createDataFrame(pd.DataFrame(data), schema=schema)
+
+    def with_cell(self, points: DataFrame) -> DataFrame:
+        """Tile assignment: attach the row-major cell id (native exprs,
+        index.glsl:229-233); out-of-grid points get NULL and are dropped
+        by the inner joins below, mirroring the reference's discard."""
+        return points.withColumn(
+            "cell_id", self.grid.cell_id_col(F.col(self.x), F.col(self.y))
+        )
+
+    def _pip_filter(self, df: DataFrame) -> DataFrame:
+        """Exact ray-cast refinement: keep (point, candidate poly) rows
+        whose point is inside the polygon. Arrow-batched pandas UDF over
+        float64 (same IEEE op order as the SQL oracle); the kernel
+        vectorizes over points x edges (index.glsl:47-67 rule)."""
+        bc = self._bc_polys
+
+        @F.pandas_udf(T.BooleanType())
+        def _pip(x: pd.Series, y: pd.Series, poly: pd.Series) -> pd.Series:
+            verts, offsets = bc.value
+            mask = pip_candidates(
+                x.to_numpy(np.float64),
+                y.to_numpy(np.float64),
+                poly.to_numpy(np.int64),
+                verts,
+                offsets,
+            )
+            return pd.Series(mask)
+
+        return df.filter(_pip(F.col(self.x), F.col(self.y), F.col("poly_id")))
+
+    def _cell_partials(self, points: DataFrame, agg: AggSpec) -> DataFrame:
+        """Point 'rasterization': per-cell partial aggregates
+        (RasterJoin.cpp:215-221's additive-blend canvas as a hash agg
+        with map-side combine)."""
+        pts = self.with_cell(points).filter(F.col("cell_id").isNotNull())
+        sum_col = (
+            F.sum(F.col(agg.col)).alias("_sum")
+            if agg.col
+            else F.lit(None).cast("double").alias("_sum")
+        )
+        return pts.groupBy("cell_id").agg(F.count(F.lit(1)).alias("_cnt"), sum_col)
+
+    def _finalize(
+        self, assigned: DataFrame, agg: AggSpec, include_zero: bool = True
+    ) -> DataFrame:
+        """groupBy(poly_id) final aggregation + densify to all polygons
+        (the reference emits every polygon position 0..N-1,
+        RasterJoin/main.cpp:202-224)."""
+        if agg.op == "count":
+            out = assigned.groupBy("poly_id").agg(F.count(F.lit(1)).alias(agg.alias))
+        elif agg.op == "sum":
+            out = assigned.groupBy("poly_id").agg(F.sum(agg.col).alias(agg.alias))
+        else:  # avg
+            out = assigned.groupBy("poly_id").agg(F.avg(agg.col).alias(agg.alias))
+        if not include_zero:
+            return out
+        all_polys = self.spark.range(self.polyset.n_polys).withColumnRenamed(
+            "id", "poly_id"
+        )
+        fill = F.lit(0) if agg.op == "count" else F.lit(None)
+        return all_polys.join(out, "poly_id", "left").select(
+            "poly_id", F.coalesce(F.col(agg.alias), fill).alias(agg.alias)
+        )
+
+    # --------------------------------------------------------- strategies
+
+    def index_join(
+        self,
+        points: DataFrame,
+        agg: AggSpec = AggSpec(),
+        include_zero: bool = True,
+    ) -> DataFrame:
+        """J2 accurate: MBR candidate lists -> PIP everywhere."""
+        cand = self._pairs_df(self.tables.cand_cell, self.tables.cand_poly)
+        pts = self.with_cell(points)
+        joined = pts.join(F.broadcast(cand), "cell_id", "inner")
+        exact = self._pip_filter(joined)
+        return self._finalize(exact, agg, include_zero)
+
+    def assign_polygons(self, points: DataFrame, cols: Iterable[str] = ("url",)) -> DataFrame:
+        """Per-point polygon assignment (the north_star's per-point tile
+        assignment output): exact hybrid-path resolution, one row per
+        (point, containing polygon)."""
+        pairs = self._exact_pairs(points)
+        return pairs.select(*cols, "cell_id", "poly_id")
+
+    def _exact_pairs(self, points: DataFrame) -> DataFrame:
+        """Hybrid-path exact (point, poly) pairs: interior cells skip PIP
+        (hybrid.glsl:224-301's non-border fast path), boundary cells get
+        the exact kernel (isBorder branch, hybrid.glsl:173-185)."""
+        t = self.tables
+        int_c, int_p = t.interior_pairs()
+        b_c, b_p, _, _ = t.boundary_pairs()
+        interior = self._pairs_df(int_c, int_p)
+        boundary = self._pairs_df(b_c, b_p)
+
+        pts = self.with_cell(points).filter(F.col("cell_id").isNotNull())
+        fast = pts.join(F.broadcast(interior), "cell_id", "inner")
+        slow = pts.join(F.broadcast(boundary), "cell_id", "inner")
+        slow = self._pip_filter(slow)
+        return fast.unionByName(slow)
+
+    def hybrid_join(
+        self,
+        points: DataFrame,
+        agg: AggSpec = AggSpec(),
+        include_zero: bool = True,
+    ) -> DataFrame:
+        """J3 accurate: interior fast path + boundary exact refinement.
+        Result is identical to index_join; only the physical plan differs
+        (PIP runs on boundary-cell points only)."""
+        return self._finalize(self._exact_pairs(points), agg, include_zero)
+
+    def raster_join(
+        self,
+        points: DataFrame,
+        agg: AggSpec = AggSpec(),
+        include_zero: bool = True,
+    ) -> DataFrame:
+        """J1 approximate: whole cells attributed by center-inside cover.
+        Error bounded by epsilon when the grid was sized with
+        epsilon_to_cell_size (GLFunction.cpp:26-30)."""
+        cover = self._pairs_df(self.tables.cover_cell, self.tables.cover_poly)
+        cells = self._cell_partials(points, agg)
+        per_poly = cells.join(F.broadcast(cover), "cell_id", "inner")
+        out = per_poly.groupBy("poly_id").agg(*agg.exprs())
+        if not include_zero:
+            return out
+        all_polys = self.spark.range(self.polyset.n_polys).withColumnRenamed(
+            "id", "poly_id"
+        )
+        fill = F.lit(0) if agg.op == "count" else F.lit(None)
+        return all_polys.join(out, "poly_id", "left").select(
+            "poly_id", F.coalesce(F.col(agg.alias), fill).alias(agg.alias)
+        )
+
+    def error_bounds(self, points: DataFrame) -> DataFrame:
+        """J4: raster count plus per-polygon error intervals.
+
+        For each boundary cell b of polygon p with cell count c(b):
+          attributed (center inside)  -> fp1 += c(b); fp += (1-frac)*c(b)
+          not attributed              -> fn1 += c(b); fn += frac*c(b)
+        Output per polygon: cnt (raster), [cnt-fp1, cnt+fn1] (whole-pixel,
+        sound: exact is always inside), [cnt-fp, cnt+fn] (area-weighted,
+        the paper's tight interval). Mirrors RasterJoinBounds.cpp:202-381 +
+        interval assembly RasterJoin/main.cpp:178-193.
+        """
+        t = self.tables
+        b_c, b_p, b_f, b_ci = t.boundary_pairs()
+        boundary = self._pairs_df(
+            b_c,
+            b_p,
+            extra={
+                "frac": (b_f.astype(np.float64), T.DoubleType()),
+                "attributed": (b_ci.astype(np.bool_), T.BooleanType()),
+            },
+        )
+        cells = self._cell_partials(points, AggSpec("count"))
+
+        raster = (
+            cells.join(
+                F.broadcast(self._pairs_df(t.cover_cell, t.cover_poly)),
+                "cell_id",
+                "inner",
+            )
+            .groupBy("poly_id")
+            .agg(F.sum("_cnt").alias("cnt"))
+        )
+        bounds = (
+            cells.join(F.broadcast(boundary), "cell_id", "inner")
+            .groupBy("poly_id")
+            .agg(
+                F.sum(F.when(F.col("attributed"), F.col("_cnt")).otherwise(0)).alias("fp1"),
+                F.sum(F.when(~F.col("attributed"), F.col("_cnt")).otherwise(0)).alias("fn1"),
+                F.sum(
+                    F.when(F.col("attributed"), (1 - F.col("frac")) * F.col("_cnt")).otherwise(0.0)
+                ).alias("fp"),
+                F.sum(
+                    F.when(~F.col("attributed"), F.col("frac") * F.col("_cnt")).otherwise(0.0)
+                ).alias("fn"),
+            )
+        )
+        all_polys = self.spark.range(self.polyset.n_polys).withColumnRenamed("id", "poly_id")
+        return (
+            all_polys.join(raster, "poly_id", "left")
+            .join(bounds, "poly_id", "left")
+            .select(
+                "poly_id",
+                F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+                (F.coalesce(F.col("cnt"), F.lit(0)) - F.coalesce(F.col("fp1"), F.lit(0))).alias("lo1"),
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("fn1"), F.lit(0))).alias("hi1"),
+                (F.coalesce(F.col("cnt"), F.lit(0)) - F.coalesce(F.col("fp"), F.lit(0.0))).alias("lo"),
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("fn"), F.lit(0.0))).alias("hi"),
+            )
+        )
+
+    def coarse_scan(self, points: DataFrame, x0: float, y0: float, x1: float, y1: float) -> DataFrame:
+        """S5 partition-pruned range scan: rows whose CELL overlaps the
+        query box — a superset at hash-cell granularity, exactly like the
+        reference's coarse sigma (HashGridIndex.cpp:78-137). The exact
+        sigma (S6) is a plain .filter chained after."""
+        stx, sty, enx, eny = self.grid.mbr_cell_range(x0, y0, x1, y1)
+        pts = self.with_cell(points).filter(F.col("cell_id").isNotNull())
+        xp = F.col("cell_id") % self.grid.nx
+        yp = (F.col("cell_id") / self.grid.nx).cast("long")
+        return pts.filter(
+            (xp >= stx) & (xp < enx) & (yp >= sty) & (yp < eny)
+        )

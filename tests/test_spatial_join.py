@@ -1,0 +1,204 @@
+"""Spatial-join strategies vs the reference's semantics oracle.
+
+Mirrors the reference's correctness methodology (SURVEY.md §5): the exact
+strategies (index J2, hybrid J3) must agree with brute force row-for-row;
+the approximate raster join (J1) must satisfy the error-bound property
+(exact within [cnt-fp1, cnt+fn1], RasterJoin/main.cpp:178-193).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from raster_join_spark.fixtures import micro_fixture
+from raster_join_spark.geo.grid import GridSpec
+from raster_join_spark.geo.pip import pip_multi
+from raster_join_spark.geo.polygons import blob_polygons
+from raster_join_spark.operators.spatial_join import AggSpec, SpatialJoin
+
+
+@pytest.fixture(scope="module")
+def random_points():
+    rng = np.random.RandomState(99)
+    n = 4000
+    x = np.round(rng.uniform(0, 1000, n))
+    y = np.round(rng.uniform(0, 1000, n))
+    val = rng.randint(0, 100, n)
+    return x, y, val
+
+
+@pytest.fixture(scope="module")
+def points_df(spark, random_points):
+    x, y, val = random_points
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(len(x))],
+            "x": x.astype(np.float64),
+            "y": y.astype(np.float64),
+            "val": val.astype(np.int64),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture(scope="module")
+def polyset():
+    return blob_polygons(8, 0, 0, 1000, 1000, n_verts=9, seed=31)
+
+
+@pytest.fixture(scope="module")
+def grid():
+    return GridSpec(0.0, 0.0, 25.0, 25.0, 40, 40)
+
+
+def brute_counts(x, y, ps, val=None):
+    pt_idx, poly_ids = pip_multi(x, y, ps.verts, ps.offsets)
+    cnt = np.zeros(ps.n_polys, dtype=np.int64)
+    sums = np.zeros(ps.n_polys, dtype=np.int64)
+    for i, p in zip(pt_idx, poly_ids):
+        cnt[p] += 1
+        if val is not None:
+            sums[p] += val[i]
+    return cnt, sums
+
+
+# ------------------------------------------------------------ micro fixture
+
+
+def test_micro_fixture_counts(spark):
+    """Reference baseLineSample (baseline.hpp:139-217): poly0=2, poly1=3."""
+    px, py, polys = micro_fixture()
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": [f"p{i}" for i in range(5)], "x": px, "y": py})
+    )
+    grid = GridSpec(4.8, 4.8, 0.05, 0.05, 12, 12)
+    sj = SpatialJoin(spark, polys, grid)
+    for strategy in (sj.index_join, sj.hybrid_join):
+        got = {r["poly_id"]: r["agg"] for r in strategy(df).collect()}
+        assert got == {0: 2, 1: 3}, strategy.__name__
+
+
+# ----------------------------------------------------- exact strategies
+
+
+def test_index_join_matches_bruteforce(spark, points_df, polyset, grid, random_points):
+    x, y, val = random_points
+    exp_cnt, _ = brute_counts(x, y, polyset)
+    sj = SpatialJoin(spark, polyset, grid)
+    got = sj.index_join(points_df).orderBy("poly_id").toPandas()
+    np.testing.assert_array_equal(got["agg"].to_numpy(), exp_cnt)
+
+
+def test_hybrid_equals_index(spark, points_df, polyset, grid, random_points):
+    x, y, val = random_points
+    exp_cnt, exp_sum = brute_counts(x, y, polyset, val)
+    sj = SpatialJoin(spark, polyset, grid)
+    cnt = sj.hybrid_join(points_df).orderBy("poly_id").toPandas()
+    np.testing.assert_array_equal(cnt["agg"].to_numpy(), exp_cnt)
+    # sum + avg parity (A2; reference wires Avg, Sum enum exists, Common.h:26)
+    s = sj.hybrid_join(points_df, AggSpec("sum", "val", "s")).orderBy("poly_id").toPandas()
+    np.testing.assert_array_equal(
+        np.nan_to_num(s["s"].to_numpy(), nan=0).astype(np.int64), exp_sum
+    )
+    a = sj.hybrid_join(points_df, AggSpec("avg", "val", "a")).orderBy("poly_id").toPandas()
+    nonzero = exp_cnt > 0
+    np.testing.assert_allclose(
+        a["a"].to_numpy()[nonzero], exp_sum[nonzero] / exp_cnt[nonzero]
+    )
+
+
+def test_assign_polygons_row_for_row(spark, points_df, polyset, grid, random_points):
+    """Per-point tile+polygon assignments match brute force ROW-FOR-ROW
+    (north_star requirement)."""
+    x, y, val = random_points
+    pt_idx, poly_ids = pip_multi(x, y, polyset.verts, polyset.offsets)
+    expected = {(f"u{i}", int(p)) for i, p in zip(pt_idx, poly_ids)}
+    sj = SpatialJoin(spark, polyset, grid)
+    got_rows = sj.assign_polygons(points_df).collect()
+    got = {(r["url"], r["poly_id"]) for r in got_rows}
+    assert got == expected
+    assert len(got_rows) == len(got_rows)  # no duplicate pairs
+    # cell ids in the assignment match the grid kernel
+    cells = grid.cell_ids_np(x, y)
+    idx = {f"u{i}": int(c) for i, c in enumerate(cells)}
+    for r in got_rows:
+        assert idx[r["url"]] == r["cell_id"]
+
+
+# ----------------------------------------------------- raster + bounds
+
+
+def test_raster_join_matches_cover_semantics(spark, points_df, polyset, random_points):
+    """Raster count per poly == count of points whose CELL CENTER is inside
+    (the J1 whole-pixel attribution)."""
+    x, y, val = random_points
+    fine = GridSpec(0.0, 0.0, 5.0, 5.0, 200, 200)
+    sj = SpatialJoin(spark, polyset, fine)
+    got = sj.raster_join(points_df).orderBy("poly_id").toPandas()["agg"].to_numpy()
+
+    cells = fine.cell_ids_np(x, y)
+    ccx, ccy = fine.cell_centers_np(cells)
+    exp = np.zeros(polyset.n_polys, dtype=np.int64)
+    from raster_join_spark.geo.pip import pip_mask
+
+    for p in range(polyset.n_polys):
+        exp[p] = int(pip_mask(ccx, ccy, polyset.poly_verts(p)).sum())
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_error_bounds_contain_exact(spark, points_df, polyset, random_points):
+    """Epsilon-bound property (RasterJoin/main.cpp:178-193): the exact count
+    lies within the whole-pixel interval [cnt-fp1, cnt+fn1] for EVERY
+    polygon, at two grid resolutions."""
+    x, y, val = random_points
+    exact, _ = brute_counts(x, y, polyset)
+    for cell in (5.0, 20.0):
+        n = int(1000 / cell)
+        fine = GridSpec(0.0, 0.0, cell, cell, n, n)
+        sj = SpatialJoin(spark, polyset, fine)
+        eb = sj.error_bounds(points_df).orderBy("poly_id").toPandas()
+        assert (eb["lo1"].to_numpy() <= exact).all(), f"cell={cell}"
+        assert (exact <= eb["hi1"].to_numpy()).all(), f"cell={cell}"
+        # raster error shrinks with resolution: interval width sane
+        assert (eb["hi1"] >= eb["lo1"]).all()
+        # fraction-weighted interval is within the whole-pixel one
+        assert (eb["lo"] >= eb["lo1"] - 1e-9).all()
+        assert (eb["hi"] <= eb["hi1"] + 1e-9).all()
+
+
+def test_raster_error_shrinks_with_resolution(spark, points_df, polyset, random_points):
+    x, y, val = random_points
+    exact, _ = brute_counts(x, y, polyset)
+    errs = []
+    for cell in (50.0, 10.0, 2.0):
+        n = int(1000 / cell)
+        g = GridSpec(0.0, 0.0, cell, cell, n, n)
+        sj = SpatialJoin(spark, polyset, g)
+        got = sj.raster_join(points_df).orderBy("poly_id").toPandas()["agg"].to_numpy()
+        errs.append(np.abs(got - exact).sum())
+    assert errs[0] >= errs[1] >= errs[2]
+    assert errs[2] <= max(1, 0.05 * exact.sum())
+
+
+# ----------------------------------------------------- coarse scan
+
+
+def test_coarse_scan_superset_then_exact(spark, points_df, polyset, grid, random_points):
+    """S5/S6: the coarse sigma is a superset at cell granularity; chaining
+    the exact sigma reproduces the brute-force box filter
+    (BackendIndex/main.cpp:129-168's testBackendIndex)."""
+    x, y, val = random_points
+    box = (100.0, 200.0, 480.0, 730.0)
+    sj = SpatialJoin(spark, polyset, grid)
+    coarse = sj.coarse_scan(points_df, *box)
+    n_coarse = coarse.count()
+    exact_mask = (x >= box[0]) & (y >= box[1]) & (x <= box[2]) & (y <= box[3])
+    n_exact_df = coarse.filter(
+        (F.col("x") >= box[0]) & (F.col("y") >= box[1])
+        & (F.col("x") <= box[2]) & (F.col("y") <= box[3])
+    ).count()
+    assert n_coarse >= int(exact_mask.sum())
+    assert n_exact_df == int(exact_mask.sum())
