@@ -1,0 +1,172 @@
+"""DuckDB oracle SQL builders for the driver's correctness gate.
+
+Every oracle runs on the SAME derivation CTE as the engine
+(sources/pages.py POINTS_CTE) and reproduces the engine's geometry
+decisions with generated SQL that uses the identical IEEE double
+arithmetic in the identical operation order (geo/pip.pip_sql,
+geo/grid.cell_id_sql). Coordinates are exact integers in microdegree
+space, so there is no float drift anywhere.
+
+For the error-bounds query, the boundary-cell classification (an exact
+rect-vs-polygon test, unit-tested in tests/test_geometry.py) is inlined
+as a VALUES relation: the oracle then independently verifies the entire
+Spark aggregation pipeline on top of it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raster_join_spark.fixtures import (
+    COARSE_GRID,
+    FINE_GRID,
+    KNN_K,
+    KNN_QUERIES,
+    ORACLE_POLYS,
+)
+from raster_join_spark.geo.classify import POLY_GRID_CACHE
+from raster_join_spark.geo.grid import GridSpec
+from raster_join_spark.geo.pip import pip_sql
+from raster_join_spark.sources.pages import POINTS_CTE
+
+
+def _per_poly_union(select_tpl: str, x: str = "x", y: str = "y", where: str = "TRUE") -> str:
+    """UNION ALL of one aggregate SELECT per polygon; {pid}/{pip} filled in."""
+    parts = []
+    for p in range(ORACLE_POLYS.n_polys):
+        pip = pip_sql(x, y, ORACLE_POLYS.poly_verts(p))
+        parts.append(select_tpl.format(pid=p, pip=pip, where=where))
+    return "\nUNION ALL\n".join(parts)
+
+
+def index_count_sql(where: str = "TRUE") -> str:
+    body = _per_poly_union(
+        "SELECT CAST({pid} AS BIGINT) AS poly_id, count(*) AS agg "
+        "FROM points WHERE ({where}) AND {pip}",
+        where=where,
+    )
+    return f"WITH {POINTS_CTE} {body}"
+
+
+def avg_sql() -> str:
+    body = _per_poly_union(
+        "SELECT CAST({pid} AS BIGINT) AS poly_id, avg(value_c) AS agg "
+        "FROM points WHERE {pip}"
+    )
+    return f"WITH {POINTS_CTE} {body}"
+
+
+def point_poly_sql() -> str:
+    body = _per_poly_union(
+        "SELECT url, CAST({pid} AS BIGINT) AS poly_id FROM points WHERE {pip}"
+    )
+    return f"WITH {POINTS_CTE} {body}"
+
+
+def _centers_cte(grid: GridSpec) -> str:
+    """Cell-center coords with the same op order as classify_cells:
+    (x0 + xp*w) + 0.5*w."""
+    xp = f"CAST(floor((x - {grid.x0!r}) / {grid.cell_w!r}) AS BIGINT)"
+    yp = f"CAST(floor((y - {grid.y0!r}) / {grid.cell_h!r}) AS BIGINT)"
+    return f"""
+centers AS (
+  SELECT *,
+    ({grid.x0!r} + {xp} * {grid.cell_w!r}) + 0.5 * {grid.cell_w!r} AS ccx,
+    ({grid.y0!r} + {yp} * {grid.cell_h!r}) + 0.5 * {grid.cell_h!r} AS ccy
+  FROM points
+  WHERE {xp} >= 0 AND {xp} < {grid.nx} AND {yp} >= 0 AND {yp} < {grid.ny}
+)
+"""
+
+
+def raster_count_sql(grid: GridSpec = FINE_GRID) -> str:
+    """Raster attribution: a point counts for poly p iff its CELL CENTER is
+    inside p — whole-pixel semantics of J1."""
+    parts = []
+    for p in range(ORACLE_POLYS.n_polys):
+        pip = pip_sql("ccx", "ccy", ORACLE_POLYS.poly_verts(p))
+        parts.append(
+            f"SELECT CAST({p} AS BIGINT) AS poly_id, count(*) AS agg FROM centers WHERE {pip}"
+        )
+    return f"WITH {POINTS_CTE}, {_centers_cte(grid)} " + "\nUNION ALL\n".join(parts)
+
+
+def error_bounds_sql(grid: GridSpec = COARSE_GRID) -> str:
+    """cnt/lo1/hi1 per polygon with the boundary classification inlined as
+    VALUES (cell_id, poly_id, attributed)."""
+    t = POLY_GRID_CACHE.get(grid, ORACLE_POLYS)
+    b_c, b_p, _, b_ci = t.boundary_pairs()
+    rows = ",".join(
+        f"({int(c)},{int(p)},{str(bool(a)).upper()})"
+        for c, p, a in zip(b_c, b_p, b_ci)
+    )
+    cell_sql = grid.cell_id_sql("x", "y")
+    parts = []
+    for p in range(ORACLE_POLYS.n_polys):
+        pip = pip_sql("ccx", "ccy", ORACLE_POLYS.poly_verts(p))
+        parts.append(
+            f"SELECT CAST({p} AS BIGINT) AS poly_id, count(*) AS cnt FROM centers WHERE {pip}"
+        )
+    raster = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {POINTS_CTE},
+{_centers_cte(grid)},
+pcells AS (SELECT {cell_sql} AS cell_id, count(*) AS c FROM points GROUP BY 1),
+bnd(cell_id, poly_id, attributed) AS (VALUES {rows}),
+raster AS ({raster}),
+acc AS (
+  SELECT CAST(b.poly_id AS BIGINT) AS poly_id,
+         sum(CASE WHEN b.attributed THEN p.c ELSE 0 END) AS fp1,
+         sum(CASE WHEN NOT b.attributed THEN p.c ELSE 0 END) AS fn1
+  FROM bnd b JOIN pcells p ON p.cell_id = b.cell_id
+  GROUP BY 1
+)
+SELECT r.poly_id,
+       r.cnt AS cnt,
+       r.cnt - coalesce(a.fp1, 0) AS lo1,
+       r.cnt + coalesce(a.fn1, 0) AS hi1
+FROM raster r LEFT JOIN acc a ON a.poly_id = r.poly_id
+"""
+
+
+def tile_assign_sql(grid: GridSpec = COARSE_GRID) -> str:
+    cell_sql = grid.cell_id_sql("x", "y")
+    return f"WITH {POINTS_CTE} SELECT url, {cell_sql} AS cell_id FROM points"
+
+
+def coarse_scan_sql(grid: GridSpec, box: tuple[float, float, float, float]) -> str:
+    stx, sty, enx, eny = grid.mbr_cell_range(*box)
+    xp = f"CAST(floor((x - {grid.x0!r}) / {grid.cell_w!r}) AS BIGINT)"
+    yp = f"CAST(floor((y - {grid.y0!r}) / {grid.cell_h!r}) AS BIGINT)"
+    return (
+        f"WITH {POINTS_CTE} SELECT count(*) AS cnt FROM points "
+        f"WHERE {xp} >= {stx} AND {xp} < {enx} AND {yp} >= {sty} AND {yp} < {eny}"
+    )
+
+
+def fullscan_sql(box: tuple[float, float, float, float], t0: str, t1: str) -> str:
+    return (
+        f"WITH {POINTS_CTE} SELECT count(*) AS cnt FROM points "
+        f"WHERE x >= {box[0]!r} AND y >= {box[1]!r} AND x <= {box[2]!r} AND y <= {box[3]!r} "
+        f"AND warc_ts >= TIMESTAMP '{t0}' AND warc_ts <= TIMESTAMP '{t1}'"
+    )
+
+
+def knn_sql(k: int = KNN_K) -> str:
+    vals = ",".join(f"({q}, {qx!r}, {qy!r})" for q, qx, qy in KNN_QUERIES)
+    return f"""
+WITH {POINTS_CTE},
+q(q_id, qx, qy) AS (VALUES {vals}),
+cand AS (
+  SELECT q.q_id AS q_id, p.event_id AS event_id,
+         CAST((p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS BIGINT) AS dist2
+  FROM points p CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, event_id, dist2,
+         row_number() OVER (PARTITION BY q_id ORDER BY dist2, event_id) AS rnk
+  FROM cand
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, event_id, CAST(rnk AS BIGINT) AS rank, dist2
+FROM ranked WHERE rnk <= {k}
+"""
