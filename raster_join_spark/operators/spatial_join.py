@@ -57,6 +57,41 @@ from raster_join_spark.geo.pip import pip_candidates
 from raster_join_spark.geo.polygons import PolygonSet
 
 
+def _cell_csr(cells: np.ndarray, polys: np.ndarray) -> dict:
+    """Sort (cell, poly) pairs by cell into a CSR lookup: unique sorted
+    cells + [start, end) ranges into the poly array."""
+    order = np.argsort(cells, kind="stable")
+    sc = cells[order]
+    sp = polys[order]
+    uniq, starts = np.unique(sc, return_index=True)
+    ends = np.r_[starts[1:], len(sc)]
+    return {"cells": uniq, "starts": starts, "ends": ends, "polys": sp}
+
+
+def _csr_expand(csr: dict, cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """For each input row's cell, expand to (row_idx, poly_id) pairs for
+    every polygon listed under that cell — fully vectorized (searchsorted
+    + range expansion), no Python loop."""
+    uniq = csr["cells"]
+    idx = np.searchsorted(uniq, cells)
+    idx_c = np.clip(idx, 0, len(uniq) - 1)
+    hit = (len(uniq) > 0) & (uniq[idx_c] == cells) & (cells >= 0)
+    rows0 = np.nonzero(hit)[0]
+    if len(rows0) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    s = csr["starts"][idx_c[rows0]]
+    e = csr["ends"][idx_c[rows0]]
+    counts = e - s
+    tot = int(counts.sum())
+    if tot == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    rows = np.repeat(rows0, counts)
+    # within-group offsets: arange(tot) - repeat(exclusive_cumsum, counts)
+    excl = np.cumsum(counts) - counts
+    offs = np.arange(tot, dtype=np.int64) - np.repeat(excl, counts) + np.repeat(s, counts)
+    return rows, csr["polys"][offs]
+
+
 @dataclass(frozen=True)
 class AggSpec:
     """Aggregation parity with the reference (Common.h:26 {Count, Avg, Sum},
@@ -230,11 +265,111 @@ class SpatialJoin:
         points: DataFrame,
         agg: AggSpec = AggSpec(),
         include_zero: bool = True,
+        fused: bool = True,
     ) -> DataFrame:
         """J3 accurate: interior fast path + boundary exact refinement.
         Result is identical to index_join; only the physical plan differs
-        (PIP runs on boundary-cell points only)."""
+        (PIP runs on boundary-cell points only).
+
+        ``fused=True`` (default for aggregate output) runs the one-pass
+        partial-aggregation plan — the scalable path; ``fused=False``
+        keeps the pair-materializing broadcast-join plan (same rows,
+        useful for plan comparison and per-point outputs)."""
+        if fused and agg.op in ("count", "sum", "avg"):
+            return self._fused_agg(points, agg, include_zero)
         return self._finalize(self._exact_pairs(points), agg, include_zero)
+
+    def _fused_agg(
+        self, points: DataFrame, agg: AggSpec, include_zero: bool
+    ) -> DataFrame:
+        """One-pass exact aggregation — the plan we'd run at 100 TB.
+
+        mapInPandas over (x, y[, val]): per Arrow batch, resolve interior
+        membership by CSR lookup of the cell, boundary membership by the
+        exact PIP kernel, and emit a PARTIAL per-polygon vector (<=P rows
+        per batch). The exchange then carries #batches x P rows instead of
+        O(points) pair rows — the reference's per-thread partial vectors
+        (CPUJoin/CPUJoin.cpp:93-116) in Spark clothes. No JVM-side pair
+        materialization, half the Arrow traffic of the join plan.
+        """
+        t = self.tables
+        int_c, int_p = t.interior_pairs()
+        b_c, b_p, _, _ = t.boundary_pairs()
+        bc = self.spark.sparkContext.broadcast(
+            {
+                "interior": _cell_csr(int_c, int_p),
+                "boundary": _cell_csr(b_c, b_p),
+                "verts": self.polyset.verts,
+                "offsets": self.polyset.offsets,
+            }
+        )
+        grid = self.grid
+        n_polys = self.polyset.n_polys
+        x_name, y_name = self.x, self.y
+        want_sum = agg.col is not None
+        cols = [x_name, y_name] + ([agg.col] if want_sum else [])
+        agg_col = agg.col
+
+        schema = T.StructType(
+            [
+                T.StructField("poly_id", T.LongType(), False),
+                T.StructField("_cnt", T.LongType(), False),
+                T.StructField("_sum", T.DoubleType(), True),
+            ]
+        )
+
+        def fn(batches):
+            art = bc.value
+            verts, offsets = art["verts"], art["offsets"]
+            for pdf in batches:
+                x = pdf[x_name].to_numpy(np.float64)
+                y = pdf[y_name].to_numpy(np.float64)
+                val = pdf[agg_col].to_numpy(np.float64) if want_sum else None
+                cells = grid.cell_ids_np(x, y)
+                cnt = np.zeros(n_polys, np.int64)
+                sm = np.zeros(n_polys, np.float64) if want_sum else None
+
+                rows_i, polys_i = _csr_expand(art["interior"], cells)
+                if len(rows_i):
+                    cnt += np.bincount(polys_i, minlength=n_polys)
+                    if want_sum:
+                        sm += np.bincount(polys_i, weights=val[rows_i], minlength=n_polys)
+
+                rows_b, polys_b = _csr_expand(art["boundary"], cells)
+                if len(rows_b):
+                    mask = pip_candidates(x[rows_b], y[rows_b], polys_b, verts, offsets)
+                    pb = polys_b[mask]
+                    cnt += np.bincount(pb, minlength=n_polys)
+                    if want_sum:
+                        sm += np.bincount(pb, weights=val[rows_b][mask], minlength=n_polys)
+
+                nz = np.nonzero(cnt)[0]
+                yield pd.DataFrame(
+                    {
+                        "poly_id": nz.astype(np.int64),
+                        "_cnt": cnt[nz],
+                        "_sum": sm[nz] if want_sum else np.full(len(nz), np.nan),
+                    }
+                )
+
+        # Python-stage task sizing: each mapInPandas task pays a fixed
+        # JVM<->worker protocol cost (~20 ms measured), so a python stage
+        # wants FEW, BIG tasks — coalesce (no shuffle) to ~1 task per core
+        # unless the input is already coarser. On a real cluster this is
+        # executors*cores; tasks then stream many Arrow batches each.
+        target = max(self.spark.sparkContext.defaultParallelism, 1)
+        src = points.select(*cols)
+        if src.rdd.getNumPartitions() > 2 * target:
+            src = src.coalesce(2 * target)
+        partials = src.mapInPandas(fn, schema)
+        out = partials.groupBy("poly_id").agg(*agg.exprs())
+        if not include_zero:
+            return out
+        all_polys = self.spark.range(n_polys).withColumnRenamed("id", "poly_id")
+        fill = F.lit(0) if agg.op == "count" else F.lit(None)
+        return all_polys.join(out, "poly_id", "left").select(
+            "poly_id", F.coalesce(F.col(agg.alias), fill).alias(agg.alias)
+        )
 
     def raster_join(
         self,

@@ -125,3 +125,29 @@ def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def points_oracle_sql(select: str, where: str = "TRUE") -> str:
     """DuckDB oracle over the SAME CTE text."""
     return f"WITH {POINTS_CTE} SELECT {select} FROM points WHERE {where}"
+
+
+def synth_points(spark: SparkSession, n: int, num_partitions: int = 256) -> DataFrame:
+    """Deterministic scalable point table for benchmarks (no external data).
+
+    Same distribution as PAGES_CTE (30% NYC-style hot cluster, 70% US-wide)
+    driven by ``spark.range`` — pure codegen'd column arithmetic, so
+    generation itself parallelizes and never bottlenecks the measurement.
+    ``num_partitions`` is fixed so different parallelism levels see the
+    IDENTICAL input split (the north_rule's same-input requirement)."""
+    df = spark.range(0, n, 1, num_partitions).withColumnRenamed("id", "event_id")
+    hot = (df.event_id % 10) < 3
+    from pyspark.sql import functions as F
+
+    y = F.when(hot, 40_500_000 + (df.event_id * 12345) % 400_000).otherwise(
+        24_500_000 + (df.event_id * 48271) % 24_000_000
+    )
+    x = F.when(hot, -74_200_000 + (df.event_id * 54321) % 400_000).otherwise(
+        -124_500_000 + (df.event_id * 16807) % 57_000_000
+    )
+    return df.select(
+        "event_id",
+        x.cast("double").alias("x"),
+        y.cast("double").alias("y"),
+        ((df.event_id * 7919) % 10_000).alias("value_c"),
+    )
