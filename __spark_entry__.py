@@ -150,6 +150,97 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- training-data pipeline ops
+
+import numpy as np
+
+ANN_QUERY = np.random.RandomState(123).normal(size=64)
+ANN_K = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from raster_join_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_word_jaccard(spark, sf_dir):
+    from raster_join_spark.operators.dedup import word_jaccard_pairs
+
+    return word_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _q_token_stats(spark, sf_dir):
+    from raster_join_spark.operators.textops import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from raster_join_spark.operators.textops import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from raster_join_spark.operators.textops import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from raster_join_spark.operators.textops import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_ann_brute(spark, sf_dir):
+    from raster_join_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(_emb(spark, sf_dir), ANN_QUERY, k=ANN_K)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    """rows-only check: LSH is hash-randomized by design (deterministic
+    seed, but not SQL-expressible)."""
+    from raster_join_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), k=64, bands=16, shingle_w=3)
+
+
+def _q_simhash(spark, sf_dir):
+    from raster_join_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_emb_neardup(spark, sf_dir):
+    from raster_join_spark.operators.similarity import embedding_neardup_pairs
+
+    # threshold 0.30: the driver's embeddings are near-orthogonal random
+    # vectors, so 0.9-cosine dups don't exist at sf0.01; 0.30 yields a
+    # non-trivial pair set for the rows-only check
+    return embedding_neardup_pairs(_emb(spark, sf_dir), n_planes=6, min_cos_x100=30)
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> pooled feature vector via
+    the deterministic FakeCodec (real codecs are deployment plug-ins)."""
+    from raster_join_spark.operators.multimodal import extract_features
+    from raster_join_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, sf_dir)
+    return extract_features(pages, payload_col="html", id_col="url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_index_count": _q_index_count,
@@ -163,12 +254,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarse_scan": _q_coarse_scan,
         "fullscan_filter": _q_fullscan,
         "knn": _q_knn,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_word_jaccard": _q_word_jaccard,
+        "text_token_stats": _q_token_stats,
+        "text_quality": _q_quality,
+        "text_lang_id": _q_lang_id,
+        "text_fingerprint": _q_fingerprint,
+        "ann_cosine_topk": _q_ann_brute,
+        "dedup_minhash_pairs": _q_minhash_pairs,
+        "text_simhash": _q_simhash,
+        "emb_neardup_pairs": _q_emb_neardup,
+        "media_features": _q_media_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from raster_join_spark import oracles
     from raster_join_spark.fixtures import COARSE_GRID
+    from raster_join_spark.operators import dedup as D
+    from raster_join_spark.operators import similarity as S
+    from raster_join_spark.operators import textops as X
 
     return {
         "spatial_index_count": oracles.index_count_sql(),
@@ -182,4 +287,13 @@ def oracle_sql() -> dict[str, str]:
         "coarse_scan": oracles.coarse_scan_sql(COARSE_GRID, BOX),
         "fullscan_filter": oracles.fullscan_sql(BOX, T0, T1),
         "knn": oracles.knn_sql(),
+        "dedup_exact": D.exact_dedup_sql(),
+        "dedup_word_jaccard": D.word_jaccard_sql(),
+        "text_token_stats": X.token_stats_sql(),
+        "text_quality": X.quality_score_sql(),
+        "text_lang_id": X.lang_id_sql(),
+        "text_fingerprint": X.fingerprint_sql(),
+        "ann_cosine_topk": S.brute_force_topk_sql(ANN_QUERY, k=ANN_K),
+        # minhash/simhash/neardup/media: deterministic but hash-family /
+        # codec based -> not SQL-expressible; driver records rows-only.
     }

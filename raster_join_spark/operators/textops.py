@@ -1,0 +1,139 @@
+"""Text-analysis operators for a training-data pipeline at corpus scale.
+
+All hot-path logic is native pyspark.sql.functions (JVM, whole-stage
+codegen) — no Python anywhere: length/replace/split arithmetic only, so
+every operator also has an exact SQL twin for the DuckDB oracle.
+
+Operators (each over the ``documents`` table):
+- token_stats:   char/token/unique-token counts per doc
+- quality_score: length + punctuation + stopword-ratio heuristic
+- lang_id:       marker-substring n-gram heuristic language guess
+- fingerprint:   md5 content fingerprint + first-token prefix key
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# substring-occurrence count: (len(s) - len(replace(s, m, ''))) / len(m)
+# — exact integer math, identical in Spark and DuckDB.
+
+
+def occurrences(col: Column, marker: str) -> Column:
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit("")))
+    ) / F.lit(len(marker))
+
+
+def occurrences_sql(expr: str, marker: str) -> str:
+    m = marker.replace("'", "''")
+    return f"((length({expr}) - length(replace({expr}, '{m}', ''))) / {len(marker)})"
+
+
+# language marker table: crude but deterministic; the oracle reproduces it
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " a ", " and "],
+    "es": [" el ", " la ", " y "],
+    "zh": [" de ", " le "],
+}
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token accounting (whitespace tokenization), all JVM-side."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+    )
+
+
+def token_stats_sql() -> str:
+    return """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+       len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS n_uniq_tokens
+FROM documents
+"""
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality heuristic: mean token length + stopword density. Exact
+    integer arithmetic then one division -> bit-stable across engines."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n_tokens = F.size(toks)
+    stop_hits = (
+        occurrences(F.col("text"), " the ")
+        + occurrences(F.col("text"), " a ")
+        + occurrences(F.col("text"), " and ")
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_hits.cast("long").alias("stop_hits"),
+        (F.length("text").cast("double") / n_tokens).alias("avg_token_len"),
+    )
+
+
+def quality_score_sql() -> str:
+    stop = " + ".join(occurrences_sql("text", m) for m in (" the ", " a ", " and "))
+    return f"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+       CAST({stop} AS BIGINT) AS stop_hits,
+       CAST(length(text) AS DOUBLE)
+         / len(list_filter(string_split(text, ' '), t -> t <> '')) AS avg_token_len
+FROM documents
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-based language guess; ties resolve in (en, es, zh) order,
+    zero hits -> 'und'. The oracle reproduces the same CASE chain."""
+    scores = {
+        lang: sum(
+            (occurrences(F.col("text"), m) for m in markers[1:]),
+            occurrences(F.col("text"), markers[0]),
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    en, es, zh = scores["en"], scores["es"], scores["zh"]
+    pred = (
+        F.when((en >= es) & (en >= zh) & (en > 0), F.lit("en"))
+        .when((es >= zh) & (es > 0), F.lit("es"))
+        .when(zh > 0, F.lit("zh"))
+        .otherwise(F.lit("und"))
+    )
+    return docs.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+def lang_id_sql() -> str:
+    def score(lang: str) -> str:
+        return " + ".join(occurrences_sql("text", m) for m in LANG_MARKERS[lang])
+
+    en, es, zh = score("en"), score("es"), score("zh")
+    return f"""
+SELECT doc_id, lang,
+  CASE WHEN ({en}) >= ({es}) AND ({en}) >= ({zh}) AND ({en}) > 0 THEN 'en'
+       WHEN ({es}) >= ({zh}) AND ({es}) > 0 THEN 'es'
+       WHEN ({zh}) > 0 THEN 'zh'
+       ELSE 'und' END AS lang_pred
+FROM documents
+"""
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of the text bytes (exact-dup key) plus a
+    cheap prefix bucket — the document-fingerprinting primitive."""
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        F.substring("text", 1, 16).alias("prefix16"),
+    )
+
+
+def fingerprint_sql() -> str:
+    return "SELECT doc_id, md5(text) AS fp, substr(text, 1, 16) AS prefix16 FROM documents"

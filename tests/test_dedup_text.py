@@ -1,0 +1,111 @@
+"""Dedup + text-analysis operators vs brute-force / DuckDB oracles."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from raster_join_spark.operators import dedup as D
+from raster_join_spark.operators import textops as X
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(80):
+        words = [vocab[j] for j in rng.randint(0, 50, size=rng.randint(5, 40))]
+        rows.append((i, " ".join(words), "en", "s", len(" ".join(words))))
+    # exact dups
+    rows.append((80, rows[0][1], "en", "s", rows[0][4]))
+    rows.append((81, rows[0][1], "en", "s", rows[0][4]))
+    # near dup of doc 1 (90% same words)
+    base = rows[1][1].split(" ")
+    near = base[: max(len(base) - 2, 1)] + ["zz"]
+    rows.append((82, " ".join(near), "en", "s", len(" ".join(near))))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+
+@pytest.fixture(scope="module")
+def docs(spark, docs_pdf):
+    return spark.createDataFrame(docs_pdf)
+
+
+def _duck(docs_pdf, sql):
+    con = duckdb.connect()
+    con.register("documents", docs_pdf)
+    return con.sql(sql).df()
+
+
+def test_exact_dedup(spark, docs, docs_pdf):
+    got = D.exact_dedup(docs).toPandas().sort_values("fp", ignore_index=True)
+    exp = _duck(docs_pdf, D.exact_dedup_sql()).sort_values("fp", ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    g = got[got.dup_cnt > 1]
+    assert len(g) == 1 and g.iloc[0]["keep_id"] == 0 and g.iloc[0]["dup_cnt"] == 3
+
+
+def test_word_jaccard_pairs(spark, docs, docs_pdf):
+    got = (
+        D.word_jaccard_pairs(docs)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    exp = _duck(docs_pdf, D.word_jaccard_sql()).sort_values(
+        ["doc_a", "doc_b"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the exact dups and the near dup must appear
+    pairs = set(zip(got.doc_a, got.doc_b))
+    assert (0, 80) in pairs and (0, 81) in pairs and (80, 81) in pairs
+    assert (1, 82) in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = D.minhash_lsh_pairs(docs, k=64, bands=16, shingle_w=2).toPandas()
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    # exact dups share all shingles -> guaranteed same signature
+    assert (0, 80) in got and (0, 81) in got and (80, 81) in got
+    # near-dup doc 82 vs 1: J~0.9 on 2-shingles -> found w.h.p. (seeded)
+    assert (1, 82) in got
+
+
+def test_minhash_dedup_survivors(spark, docs):
+    survivors = set(D.minhash_dedup(docs, k=64, bands=16, shingle_w=2).toPandas().doc_id)
+    assert 0 in survivors and 80 not in survivors and 81 not in survivors
+    assert 82 not in survivors  # near-dup of 1
+    assert 1 in survivors
+
+
+def test_simhash_similar_docs_close(spark, docs, docs_pdf):
+    sh = simhash = D.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+
+    def hamming(a, b):
+        return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sh[0], sh[80]) == 0  # identical text
+    assert hamming(sh[1], sh[82]) <= 12  # near dup
+    rng = np.random.RandomState(0)
+    rand_pairs = [(int(a), int(b)) for a, b in rng.randint(2, 79, size=(20, 2)) if a != b]
+    mean_rand = np.mean([hamming(sh[a], sh[b]) for a, b in rand_pairs])
+    assert mean_rand > 12  # unrelated docs are far
+
+
+def test_token_stats(spark, docs, docs_pdf):
+    got = X.token_stats(docs).toPandas().sort_values("doc_id", ignore_index=True)
+    exp = _duck(docs_pdf, X.token_stats_sql()).sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_quality_and_lang_and_fingerprint(spark, docs, docs_pdf):
+    for fn, sql in (
+        (X.quality_score, X.quality_score_sql()),
+        (X.lang_id, X.lang_id_sql()),
+        (X.fingerprint, X.fingerprint_sql()),
+    ):
+        got = fn(docs).toPandas().sort_values("doc_id", ignore_index=True)
+        exp = _duck(docs_pdf, sql).sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -1,0 +1,55 @@
+"""Multimodal plumbing: binary payload columns through Arrow stages with
+the deterministic FakeCodec (real codecs are deployment plug-ins)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from raster_join_spark.operators.multimodal import (
+    Codec,
+    FakeCodec,
+    attach_media_meta,
+    extract_features,
+    frame_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [(f"u{i}", bytes([i % 256]) * (100 + i * 7)) for i in range(50)]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        Codec().decode(b"x")
+
+
+def test_media_meta_schema_and_determinism(spark, media_df):
+    out = attach_media_meta(media_df).select("url", "media_meta.*").toPandas()
+    assert list(out.columns) == ["url", "mime", "width", "height", "n_frames"]
+    assert (out.mime == "image/fake").all()
+    c = FakeCodec()
+    expected_w = {f"u{i}": 16 + (100 + i * 7) % 17 for i in range(50)}
+    for _, r in out.iterrows():
+        assert r.width == expected_w[r.url]
+
+
+def test_extract_features_shapes(spark, media_df):
+    out = extract_features(media_df, n_features=8).toPandas()
+    assert len(out) == 50
+    assert all(len(f) == 8 for f in out.features)
+    # deterministic across runs
+    out2 = extract_features(media_df, n_features=8).toPandas()
+    a = out.sort_values("url", ignore_index=True)
+    b = out2.sort_values("url", ignore_index=True)
+    for fa, fb in zip(a.features, b.features):
+        np.testing.assert_array_equal(np.array(fa), np.array(fb))
+
+
+def test_frame_sample_one_to_n(spark, media_df):
+    frames = frame_sample(media_df, every_n=1).toPandas()
+    assert len(frames) == 50  # FakeCodec is single-frame
+    assert (frames.frame_idx == 0).all()
+    assert all(isinstance(b, (bytes, bytearray)) for b in frames.frame_bytes)

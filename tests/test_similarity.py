@@ -1,0 +1,94 @@
+"""Similarity-search operators: brute-force exactness, LSH recall,
+embedding near-dup pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from raster_join_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb_pdf():
+    """Clustered embeddings (10 centers, small intra-cluster noise) —
+    the structure real embedding spaces have and that LSH exploits."""
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(10, 16))
+    labels = rng.randint(0, 10, size=300)
+    vecs = (centers[labels] + rng.normal(scale=0.25, size=(300, 16))).astype(
+        np.float32
+    )
+    # plant near-duplicates: 250<->0, 251<->1 (tiny perturbation)
+    vecs[250] = vecs[0] + rng.normal(scale=1e-3, size=16).astype(np.float32)
+    vecs[251] = vecs[1] + rng.normal(scale=1e-3, size=16).astype(np.float32)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(300, dtype=np.int64),
+            "embedding": [v for v in vecs],
+            "label": labels.astype(np.int32),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark, emb_pdf):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+            T.StructField("label", T.IntegerType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding], int(r.label)) for r in emb_pdf.itertuples()],
+        schema,
+    )
+
+
+def _np_topk(emb_pdf, q, k):
+    M = np.stack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
+    scores = M @ np.asarray(q, dtype=np.float64)
+    order = np.lexsort((emb_pdf["vec_id"].to_numpy(), -scores))[:k]
+    return emb_pdf["vec_id"].to_numpy()[order].tolist()
+
+
+def test_brute_force_topk_exact(spark, emb, emb_pdf):
+    rng = np.random.RandomState(9)
+    q = rng.normal(size=16)
+    got = S.brute_force_topk(emb, q, k=10).toPandas().sort_values("rank")
+    assert got["vec_id"].tolist() == _np_topk(emb_pdf, q, 10)
+    assert got["rank"].tolist() == list(range(1, 11))
+
+
+def test_lsh_topk_recall(spark, emb, emb_pdf):
+    """ANN with multi-probe: recall@10 >= 0.6 vs brute force on this
+    fixture (seeded, deterministic)."""
+    rng = np.random.RandomState(4)
+    centers = np.stack(
+        [emb_pdf[emb_pdf.label == l].embedding.iloc[0] for l in range(5)]
+    ).astype(np.float64)
+    recalls = []
+    for qi in range(5):
+        q = centers[qi] + rng.normal(scale=0.1, size=16)
+        exact = set(_np_topk(emb_pdf, q, 10))
+        got = set(
+            S.lsh_topk(spark, emb, q, k=10, n_planes=6, n_probes=10)
+            .toPandas()["vec_id"]
+            .tolist()
+        )
+        recalls.append(len(got & exact) / 10)
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_embedding_neardup_pairs(spark, emb):
+    pairs = S.embedding_neardup_pairs(
+        emb, n_planes=6, seed=11, min_cos_x100=99
+    ).toPandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 250) in got and (1, 251) in got
+    assert (pairs.cos >= 0.99).all()
+    # no self pairs, canonical order
+    assert (pairs.id_a < pairs.id_b).all()
