@@ -1,0 +1,169 @@
+"""Resumable execution with per-partition checkpoints, lineage + metrics.
+
+The reference simply re-runs a failed query; at 10^12 documents a
+spatial-aggregation job over an entire table is hours of work, so the
+north_rule requires resumability. Model:
+
+- a job is a list of UNITS (one per tile-store partition, i.e. one
+  ``(cell_bucket, tbucket)`` directory — the driver's unit of retry)
+- each unit runs the query on just its partition slice and writes a
+  partial-result parquet under ``<ckpt>/parts/unit=<id>/`` atomically
+  (write to _tmp, rename)
+- LINEAGE table (parquet): one row per completed unit — unit id, input
+  partition, input rows, output rows, wall ms, injected timestamp,
+  snapshot id. Written append-only, one file per unit.
+- METRICS table: per-unit timings + engine counters.
+- resume: a re-run enumerates lineage, skips completed units, finishes
+  the rest; the final aggregate is a union of the partial parquets —
+  deterministic regardless of which run produced which unit.
+
+The partial results are ADDITIVE (per-polygon partial vectors), so the
+final combine is a groupBy-sum — the same partial/final contract the
+fused join path already uses.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from raster_join_spark.sources.tiles import TileStore
+
+
+@dataclass
+class CheckpointedJob:
+    spark: SparkSession
+    store: TileStore
+    ckpt_dir: str
+    job_id: str = "job"
+
+    # ---------------------------------------------------------- plumbing
+
+    def _unit_dir(self, unit: str, final: bool = True) -> str:
+        leaf = f"unit={unit}" if final else f"_tmp_unit={unit}"
+        return os.path.join(self.ckpt_dir, "parts", leaf)
+
+    def _lineage_dir(self) -> str:
+        return os.path.join(self.ckpt_dir, "lineage")
+
+    def _metrics_dir(self) -> str:
+        return os.path.join(self.ckpt_dir, "metrics")
+
+    def completed_units(self) -> set[str]:
+        d = self._lineage_dir()
+        if not os.path.isdir(d):
+            return set()
+        df = self.spark.read.parquet(d)
+        return {r["unit"] for r in df.select("unit").distinct().collect()}
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self._lineage_dir())
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(self._metrics_dir())
+
+    # --------------------------------------------------------------- run
+
+    def run(
+        self,
+        unit_fn: Callable[[DataFrame], DataFrame],
+        ts_now: float | None = None,
+        fail_after_units: int | None = None,
+    ) -> DataFrame:
+        """Execute ``unit_fn`` (partition slice -> additive partial DF) for
+        every pending unit, then combine all partials.
+
+        ``fail_after_units`` injects a crash after N fresh units (test
+        hook for the kill/resume scenario). ``ts_now`` is the injected
+        lineage timestamp (determinism; no wall-clock in outputs).
+        """
+        manifest = self.store.current_manifest()
+        assert manifest is not None, "tile store has no snapshot"
+        units = {
+            f"{p['cell_bucket']}_{p['tbucket']}": p for p in manifest["partitions"]
+        }
+        done = self.completed_units()
+        fresh = 0
+        for unit, part in sorted(units.items()):
+            if unit in done:
+                continue
+            if fail_after_units is not None and fresh >= fail_after_units:
+                raise RuntimeError(f"injected failure after {fresh} units")
+            self._run_unit(unit, part, unit_fn, manifest["snapshot_id"], ts_now)
+            fresh += 1
+        return self.result()
+
+    def _run_unit(
+        self,
+        unit: str,
+        part: dict,
+        unit_fn: Callable[[DataFrame], DataFrame],
+        snapshot_id: int,
+        ts_now: float | None,
+    ) -> None:
+        t0 = time.perf_counter()
+        part_dir = os.path.join(
+            self.store.base_dir,
+            "data",
+            f"cell_bucket={part['cell_bucket']}",
+            f"tbucket={part['tbucket']}",
+        )
+        slice_df = self.spark.read.option(
+            "basePath", os.path.join(self.store.base_dir, "data")
+        ).parquet(part_dir)
+        partial = unit_fn(slice_df)
+
+        tmp = self._unit_dir(unit, final=False)
+        dst = self._unit_dir(unit, final=True)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        partial.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)  # crashed between write and lineage: redo
+        os.replace(tmp, dst)
+        out_rows = self.spark.read.parquet(dst).count()
+        wall_ms = (time.perf_counter() - t0) * 1000
+
+        ts = ts_now if ts_now is not None else time.time()
+        lineage_row = self.spark.createDataFrame(
+            [
+                (
+                    self.job_id,
+                    unit,
+                    int(snapshot_id),
+                    f"cell_bucket={part['cell_bucket']}/tbucket={part['tbucket']}",
+                    int(part["rows"]),
+                    int(out_rows),
+                    float(ts),
+                )
+            ],
+            "job_id string, unit string, snapshot_id long, input_partition string,"
+            " rows_in long, rows_out long, ts double",
+        )
+        # one file per unit, append-only -> atomic completion marker
+        lineage_row.coalesce(1).write.mode("append").parquet(self._lineage_dir())
+        metrics_row = self.spark.createDataFrame(
+            [(self.job_id, unit, float(wall_ms), int(part["rows"]), float(ts))],
+            "job_id string, unit string, wall_ms double, rows_in long, ts double",
+        )
+        metrics_row.coalesce(1).write.mode("append").parquet(self._metrics_dir())
+
+    def result(self) -> DataFrame:
+        """Combine all unit partials (additive) into the final aggregate."""
+        parts_dir = os.path.join(self.ckpt_dir, "parts")
+        unit_dirs = [
+            os.path.join(parts_dir, d)
+            for d in os.listdir(parts_dir)
+            if d.startswith("unit=")
+        ]
+        df = self.spark.read.parquet(*unit_dirs)
+        val_cols = [c for c in df.columns if c != "poly_id"]
+        return df.groupBy("poly_id").agg(
+            *[F.sum(c).alias(c) for c in val_cols]
+        )

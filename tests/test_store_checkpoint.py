@@ -1,0 +1,113 @@
+"""Tile store (Iceberg-style layout) + resumable checkpointed execution."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from raster_join_spark.fixtures import COARSE_GRID, ORACLE_POLYS
+from raster_join_spark.operators.spatial_join import SpatialJoin
+from raster_join_spark.plans.checkpoint import CheckpointedJob
+from raster_join_spark.sources.pages import points_df
+from raster_join_spark.sources.tiles import TileStore
+
+
+@pytest.fixture(scope="module")
+def pts(spark, sf_dir):
+    return points_df(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def store(spark, pts, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("tilestore"))
+    st = TileStore(base_dir=base, grid=COARSE_GRID, n_buckets=8, salt=4,
+                   salt_threshold=100)
+    st.write(pts, ts_now=1700000000.0)
+    return st
+
+
+def test_manifest_written(store):
+    m = store.current_manifest()
+    assert m["snapshot_id"] == 1 and m["parent_snapshot_id"] is None
+    assert sum(p["rows"] for p in m["partitions"]) == 1000
+    # hot NYC cluster forces at least one salted partition at threshold 100
+    assert len(m["salted_partitions"]) >= 1
+
+
+def test_roundtrip_and_text_invariant(spark, store, pts):
+    back = store.read(spark)
+    assert back.count() == 1000
+    a = pts.select("url", "x", "y").toPandas().sort_values("url", ignore_index=True)
+    b = back.select("url", "x", "y").toPandas().sort_values("url", ignore_index=True)
+    assert a.equals(b)
+
+
+def test_salted_hot_partition_has_multiple_files(store):
+    cb, tb = store.current_manifest()["salted_partitions"][0]
+    d = os.path.join(store.base_dir, "data", f"cell_bucket={cb}", f"tbucket={tb}")
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) >= 2, "salting should split the hot partition"
+
+
+def test_pruned_read_superset_semantics(spark, store, pts):
+    box = (-80_000_000.0, 39_000_000.0, -70_000_000.0, 43_000_000.0)
+    df, report = store.pruned_read(spark, box=box)
+    assert report["scanned_partitions"] < report["total_partitions"]
+    # superset at partition granularity; exact residual filter gives truth
+    exact = pts.filter(
+        (F.col("x") >= box[0]) & (F.col("x") <= box[2])
+        & (F.col("y") >= box[1]) & (F.col("y") <= box[3])
+    ).count()
+    got_exact = df.filter(
+        (F.col("x") >= box[0]) & (F.col("x") <= box[2])
+        & (F.col("y") >= box[1]) & (F.col("y") <= box[3])
+    ).count()
+    assert df.count() >= exact
+    assert got_exact == exact
+
+
+def test_snapshot_lineage_on_rewrite(spark, store, pts):
+    m1 = store.current_manifest()
+    store.write(pts, ts_now=1700000001.0)
+    m2 = store.current_manifest()
+    assert m2["snapshot_id"] == m1["snapshot_id"] + 1
+    assert m2["parent_snapshot_id"] == m1["snapshot_id"]
+
+
+def test_checkpoint_resume_after_injected_failure(spark, store, pts, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+
+    def unit_fn(slice_df):
+        sj = SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
+        return sj.hybrid_join(slice_df, include_zero=False)
+
+    job = CheckpointedJob(spark, store, ckpt, job_id="j1")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job.run(unit_fn, ts_now=1.0, fail_after_units=2)
+    assert len(job.completed_units()) == 2
+
+    # resume: completes the remaining units only
+    out = job.run(unit_fn, ts_now=2.0).toPandas().set_index("poly_id")["agg"]
+
+    sj = SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
+    exp = (
+        sj.hybrid_join(pts, include_zero=False)
+        .toPandas()
+        .set_index("poly_id")["agg"]
+    )
+    assert out.sort_index().equals(exp.sort_index())
+
+    lin = job.lineage().toPandas()
+    n_parts = len(store.current_manifest()["partitions"])
+    assert len(lin) == n_parts
+    assert set(lin[lin.ts == 1.0].unit) <= set(lin.unit)
+    assert (lin.rows_in > 0).all()
+    met = job.metrics().toPandas()
+    assert len(met) == n_parts and (met.wall_ms > 0).all()
+
+    # idempotent: a third run does nothing new, result identical
+    out2 = job.run(unit_fn, ts_now=3.0).toPandas().set_index("poly_id")["agg"]
+    assert out2.sort_index().equals(exp.sort_index())
+    assert len(job.lineage().toPandas()) == n_parts

@@ -1,0 +1,77 @@
+"""Structured-Streaming equivalents vs their batch results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from raster_join_spark.fixtures import COARSE_GRID, ORACLE_POLYS
+from raster_join_spark.operators.spatial_join import SpatialJoin
+from raster_join_spark.sources.pages import points_df
+from raster_join_spark.streaming.windowed import (
+    stream_points,
+    streaming_polygon_counts,
+    windowed_cell_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def points_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    # several files so availableNow replays multiple micro-batches
+    points_df(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def pts_schema(spark, points_dir):
+    return spark.read.parquet(points_dir).schema
+
+
+def test_windowed_cell_counts_match_batch(spark, points_dir, pts_schema, tmp_path):
+    stream = stream_points(spark, points_dir, pts_schema, max_files_per_trigger=2)
+    agg = windowed_cell_counts(stream, COARSE_GRID, window="6 hours", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_cells")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT win_start, cell_id, cnt FROM win_cells").toPandas()
+
+    batch = spark.read.parquet(points_dir)
+    exp = (
+        batch.withColumn("cell_id", COARSE_GRID.cell_id_col(F.col("x"), F.col("y")))
+        .filter(F.col("cell_id").isNotNull())
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        .groupBy(F.window("warc_ts", "6 hours").alias("win"), "cell_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "cell_id", "cnt")
+        .toPandas()
+    )
+    key = ["win_start", "cell_id"]
+    assert (
+        got.sort_values(key, ignore_index=True)[["win_start", "cell_id", "cnt"]]
+        .equals(exp.sort_values(key, ignore_index=True))
+    )
+    assert len(got) > 0
+
+
+def test_streaming_polygon_counts_match_batch(spark, points_dir, pts_schema, tmp_path):
+    sj = SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
+    stream = stream_points(spark, points_dir, pts_schema, max_files_per_trigger=1)
+    writer = streaming_polygon_counts(stream, sj, str(tmp_path / "ck2"), "poly_acc")
+    q = writer.start()
+    q.awaitTermination(180)
+    got = (
+        spark.sql("SELECT * FROM poly_acc").toPandas().set_index("poly_id")["agg"]
+    )
+    exp = (
+        sj.hybrid_join(spark.read.parquet(points_dir), include_zero=False)
+        .toPandas()
+        .set_index("poly_id")["agg"]
+    )
+    assert got.sort_index().astype(int).equals(exp.sort_index().astype(int))
