@@ -1,0 +1,84 @@
+"""Physical-plan regression tests — the scale guarantees, checked in CI.
+
+These lock in the properties that make the engine viable at 100 TB:
+filters reach the parquet scan, projection prunes columns, the polygon
+side broadcasts (never a shuffle of the point side), the raster path has
+no Python, and the fused hybrid path shuffles only partial vectors.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from raster_join_spark.fixtures import COARSE_GRID, ORACLE_POLYS
+from raster_join_spark.operators.spatial_join import SpatialJoin
+from raster_join_spark.sources.pages import pages_df, points_df
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def sj(spark):
+    return SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = plan_of(pages_df(spark, sf_dir).select("url"))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "event_id" in read[0]
+    # none of the unused wide columns survive to the scan
+    for col in ("props", "value", "user_id", "ts"):
+        assert col not in read[0], f"column {col} not pruned: {read[0]}"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(points_df(spark, sf_dir).filter(F.col("lang") == "purchase"))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "EqualTo(event_type,purchase)" in pushed[0]
+
+
+def test_index_join_broadcasts_polygon_side(spark, sf_dir, sj):
+    plan = plan_of(sj.index_join(points_df(spark, sf_dir), include_zero=False))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan, "point side must never shuffle for the join"
+
+
+def test_raster_join_is_pure_jvm(spark, sf_dir, sj):
+    plan = plan_of(sj.raster_join(points_df(spark, sf_dir), include_zero=False))
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fused_hybrid_minimal_exchanges(spark, sf_dir, sj):
+    plan = plan_of(sj.hybrid_join(points_df(spark, sf_dir), include_zero=False))
+    assert "MapInPandas" in plan
+    # partial vectors -> exactly one aggregation exchange (plus AQE reads);
+    # never a point-wide shuffle
+    assert "SortMergeJoin" not in plan
+    n_shuffles = sum(
+        1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_shuffles <= 1, plan
+
+
+def test_no_row_at_a_time_python_udfs_in_codebase():
+    """input_hint: vectorized pandas/Arrow UDFs only. Guard the codebase
+    against accidental row-at-a-time F.udf usage."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "raster_join_spark"
+    offenders = []
+    for py in root.rglob("*.py"):
+        src = py.read_text()
+        if "F.udf(" in src or "functions.udf(" in src or "@udf" in src:
+            offenders.append(str(py))
+    assert not offenders, f"row-at-a-time UDFs found: {offenders}"
