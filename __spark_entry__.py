@@ -137,6 +137,27 @@ def _q_fullscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+RADIUS_RX, RADIUS_RY = 2_000_000.0, 1_500_000.0
+
+
+def _q_hybrid_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raster_join_spark.fixtures import COARSE_GRID
+    from raster_join_spark.operators.spatial_join import AggSpec
+
+    return _sj(spark, COARSE_GRID).hybrid_join(
+        _points(spark, sf_dir), AggSpec("sum", "value_c", "agg")
+    )
+
+
+def _q_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from raster_join_spark.fixtures import COARSE_GRID, KNN_QUERIES
+    from raster_join_spark.operators.knn import radius_query
+
+    return radius_query(
+        spark, _points(spark, sf_dir), COARSE_GRID, KNN_QUERIES, RADIUS_RX, RADIUS_RY
+    )
+
+
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raster_join_spark.fixtures import COARSE_GRID, KNN_K, KNN_QUERIES
     from raster_join_spark.operators.knn import knn_join
@@ -254,6 +275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarse_scan": _q_coarse_scan,
         "fullscan_filter": _q_fullscan,
         "knn": _q_knn,
+        "spatial_hybrid_sum": _q_hybrid_sum,
+        "radius_ellipse": _q_radius,
         "dedup_exact": _q_dedup_exact,
         "dedup_word_jaccard": _q_word_jaccard,
         "text_token_stats": _q_token_stats,
@@ -287,6 +310,8 @@ def oracle_sql() -> dict[str, str]:
         "coarse_scan": oracles.coarse_scan_sql(COARSE_GRID, BOX),
         "fullscan_filter": oracles.fullscan_sql(BOX, T0, T1),
         "knn": oracles.knn_sql(),
+        "spatial_hybrid_sum": oracles.sum_sql(),
+        "radius_ellipse": oracles.radius_sql(RADIUS_RX, RADIUS_RY),
         "dedup_exact": D.exact_dedup_sql(),
         "dedup_word_jaccard": D.word_jaccard_sql(),
         "text_token_stats": X.token_stats_sql(),

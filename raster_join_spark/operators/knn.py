@@ -61,6 +61,7 @@ def knn_join(
         pending = {q for q, _, _ in queries}
 
         r = 0
+        next_step = 1
         result: DataFrame | None = None
         while pending and r <= max_radius:
             # disk of cells within Chebyshev radius r for each pending query
@@ -121,8 +122,78 @@ def knn_join(
                 done = topk.filter(F.col("q_id").isin([int(c) for c in certified]))
                 result = done if result is None else result.unionByName(done)
                 pending -= certified
-            r += 1
+            # exponential ring growth: sparse regions certify in O(log r)
+            # driver rounds instead of O(r); clamp the final step to
+            # max_radius so the exhaustive certify-all round always runs
+            if r < max_radius and r + next_step > max_radius:
+                r = max_radius
+            else:
+                r += next_step
+            next_step = min(next_step * 2, max(grid.nx, grid.ny) // 4 + 1)
         assert result is not None, "no kNN results produced"
         return result
     finally:
         pts.unpersist()
+
+
+def radius_query(
+    spark: SparkSession,
+    points: DataFrame,
+    grid: GridSpec,
+    queries: list[tuple[int, float, float]],
+    rx: float,
+    ry: float,
+    x: str = "x",
+    y: str = "y",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ellipse radius query — the reference's getRegionPt primitive
+    (CPUJoin/GridIndexF.cpp:177-198): probe the cell ring covering
+    [q - r, q + r], keep points with ((x-qx)/rx)^2 + ((y-qy)/ry)^2 <= 1
+    (the ellipse test at GridIndexF.cpp:15-19). Returns
+    (q_id, id, dist2) for every point inside some query's ellipse.
+
+    Plan: enumerate covering cells per query on the driver (tiny),
+    broadcast, hash-join on cell_id, native-expression ellipse filter —
+    all JVM-side.
+    """
+    rows = []
+    for q, qx, qy in queries:
+        stx, sty, enx, eny = grid.mbr_cell_range(qx - rx, qy - ry, qx + rx, qy + ry)
+        for yy in range(sty, eny):
+            for xx in range(stx, enx):
+                rows.append((q, xx + grid.nx * yy))
+    cand_cells = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("q_id", T.LongType(), False),
+                T.StructField("cell_id", T.LongType(), False),
+            ]
+        ),
+    )
+    qlit = spark.createDataFrame(
+        [(q, qx, qy) for q, qx, qy in queries],
+        T.StructType(
+            [
+                T.StructField("q_id", T.LongType(), False),
+                T.StructField("qx", T.DoubleType(), False),
+                T.StructField("qy", T.DoubleType(), False),
+            ]
+        ),
+    )
+    pts = points.withColumn("cell_id", grid.cell_id_col(F.col(x), F.col(y))).filter(
+        F.col("cell_id").isNotNull()
+    )
+    cand = (
+        pts.join(F.broadcast(cand_cells), "cell_id", "inner")
+        .join(F.broadcast(qlit), "q_id", "inner")
+    )
+    ex = (F.col(x) - F.col("qx")) / F.lit(rx)
+    ey = (F.col(y) - F.col("qy")) / F.lit(ry)
+    return cand.filter(ex * ex + ey * ey <= F.lit(1.0)).select(
+        "q_id",
+        F.col(id_col),
+        ((F.col(x) - F.col("qx")) * (F.col(x) - F.col("qx"))
+         + (F.col(y) - F.col("qy")) * (F.col(y) - F.col("qy"))).cast("long").alias("dist2"),
+    )

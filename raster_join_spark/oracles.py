@@ -152,6 +152,28 @@ def fullscan_sql(box: tuple[float, float, float, float], t0: str, t1: str) -> st
     )
 
 
+def sum_sql() -> str:
+    body = _per_poly_union(
+        "SELECT CAST({pid} AS BIGINT) AS poly_id, CAST(sum(value_c) AS BIGINT) AS agg "
+        "FROM points WHERE {pip}"
+    )
+    return f"WITH {POINTS_CTE} {body}"
+
+
+def radius_sql(rx: float, ry: float) -> str:
+    """Ellipse radius query (GridIndexF.cpp:15-19 test, same op order)."""
+    vals = ",".join(f"({q}, {qx!r}, {qy!r})" for q, qx, qy in KNN_QUERIES)
+    return f"""
+WITH {POINTS_CTE},
+q(q_id, qx, qy) AS (VALUES {vals})
+SELECT CAST(q.q_id AS BIGINT) AS q_id, p.event_id AS event_id,
+       CAST((p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS BIGINT) AS dist2
+FROM points p CROSS JOIN q
+WHERE ((p.x - q.qx) / {rx!r}) * ((p.x - q.qx) / {rx!r})
+    + ((p.y - q.qy) / {ry!r}) * ((p.y - q.qy) / {ry!r}) <= 1.0
+"""
+
+
 def knn_sql(k: int = KNN_K) -> str:
     vals = ",".join(f"({q}, {qx!r}, {qy!r})" for q, qx, qy in KNN_QUERIES)
     return f"""
