@@ -187,6 +187,34 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+QK_ZOOM, QK_ROLLUP_ZOOM = 12, 6
+
+
+def _q_quadkey_assign(spark, sf_dir):
+    """Hierarchical tiling (H3/S2-style): per-page quadkey at zoom 12."""
+    from raster_join_spark.fixtures import X0, X1, Y0, Y1
+    from raster_join_spark.geo.quadkey import quadkey_col
+
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        "url", quadkey_col(F.col("x"), F.col("y"), X0, Y0, X1, Y1, QK_ZOOM).alias("qk")
+    )
+
+
+def _q_quadkey_rollup(spark, sf_dir):
+    """Pyramid rollup: zoom-12 tile counts aggregated to zoom-6 prefixes."""
+    from raster_join_spark.fixtures import X0, X1, Y0, Y1
+    from raster_join_spark.geo.quadkey import quadkey_col
+
+    pts = _points(spark, sf_dir)
+    keys = pts.select(
+        quadkey_col(F.col("x"), F.col("y"), X0, Y0, X1, Y1, QK_ZOOM).alias("qk")
+    ).filter(F.col("qk").isNotNull())
+    return keys.groupBy(
+        F.substring(F.col("qk"), 1, QK_ROLLUP_ZOOM).alias("qk")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def _q_dedup_exact(spark, sf_dir):
     from raster_join_spark.operators.dedup import exact_dedup
 
@@ -277,6 +305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": _q_knn,
         "spatial_hybrid_sum": _q_hybrid_sum,
         "radius_ellipse": _q_radius,
+        "quadkey_assign": _q_quadkey_assign,
+        "quadkey_rollup": _q_quadkey_rollup,
         "dedup_exact": _q_dedup_exact,
         "dedup_word_jaccard": _q_word_jaccard,
         "text_token_stats": _q_token_stats,
@@ -312,6 +342,8 @@ def oracle_sql() -> dict[str, str]:
         "knn": oracles.knn_sql(),
         "spatial_hybrid_sum": oracles.sum_sql(),
         "radius_ellipse": oracles.radius_sql(RADIUS_RX, RADIUS_RY),
+        "quadkey_assign": oracles.quadkey_assign_sql(QK_ZOOM),
+        "quadkey_rollup": oracles.quadkey_rollup_sql(QK_ZOOM, QK_ROLLUP_ZOOM),
         "dedup_exact": D.exact_dedup_sql(),
         "dedup_word_jaccard": D.word_jaccard_sql(),
         "text_token_stats": X.token_stats_sql(),

@@ -174,6 +174,27 @@ WHERE ((p.x - q.qx) / {rx!r}) * ((p.x - q.qx) / {rx!r})
 """
 
 
+def quadkey_assign_sql(zoom: int) -> str:
+    from raster_join_spark.fixtures import X0, X1, Y0, Y1
+    from raster_join_spark.geo.quadkey import quadkey_sql
+
+    qk = quadkey_sql("x", "y", X0, Y0, X1, Y1, zoom)
+    return f"WITH {POINTS_CTE} SELECT url, {qk} AS qk FROM points"
+
+
+def quadkey_rollup_sql(zoom: int, to_zoom: int) -> str:
+    from raster_join_spark.fixtures import X0, X1, Y0, Y1
+    from raster_join_spark.geo.quadkey import quadkey_sql
+
+    qk = quadkey_sql("x", "y", X0, Y0, X1, Y1, zoom)
+    return f"""
+WITH {POINTS_CTE},
+keys AS (SELECT {qk} AS qk FROM points)
+SELECT substr(qk, 1, {to_zoom}) AS qk, count(*) AS cnt
+FROM keys WHERE qk IS NOT NULL GROUP BY 1
+"""
+
+
 def knn_sql(k: int = KNN_K) -> str:
     vals = ",".join(f"({q}, {qx!r}, {qy!r})" for q, qx, qy in KNN_QUERIES)
     return f"""
