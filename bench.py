@@ -205,7 +205,73 @@ def run_scaling(sf_dir: str) -> dict:
     return report
 
 
+def run_poly_sweep() -> dict:
+    """Polygon-count scaling sweep, mirroring the reference's
+    --polygonDataset 128..65536 experiment
+    (experiments/run-scripts/raster-polygons.ps1:22-27)."""
+    from raster_join_spark.session import get_spark
+    from raster_join_spark.sources.pages import synth_points
+    from raster_join_spark.geo.polygons import grid_polygons
+    from raster_join_spark.geo.grid import GridSpec
+    from raster_join_spark.fixtures import X0, X1, Y0, Y1
+    from raster_join_spark.operators.spatial_join import SpatialJoin
+
+    spark = get_spark(app_name="rjs-polys")
+    n_pts = int(os.environ.get("SPARK_GRAFT_SWEEP_N", "20000000"))
+    out = {}
+    for n_polys in (128, 1024, 8192):
+        polyset = grid_polygons(
+            n_polys, X0, Y0, X1, Y1, jitter=0.2, seed=7, name=f"sweep{n_polys}"
+        )
+        side = int(n_polys ** 0.5) * 4
+        grid = GridSpec.from_resolution(X0, Y0, X1, Y1, side, side)
+        sj = SpatialJoin(spark, polyset, grid)
+        pts = synth_points(spark, n_pts, 256)
+        res = {}
+        for name, fn in (("raster", sj.raster_join), ("hybrid", sj.hybrid_join)):
+            t0 = time.perf_counter()
+            fn(pts, include_zero=False).collect()
+            res[name] = round(time.perf_counter() - t0, 3)
+        out[str(n_polys)] = res
+    return {"metric": "polygon-count scaling sweep", "n_points": n_pts, "sweep": out}
+
+
+def run_attrib_sweep() -> dict:
+    """Attribute-filter scaling (reference nAttrib 0..4,
+    experiments/results-paper/scalability/taxi-mem-attrib.txt)."""
+    from raster_join_spark.session import get_spark
+    from raster_join_spark.sources.pages import synth_points
+    from raster_join_spark.fixtures import ORACLE_POLYS, COARSE_GRID
+    from raster_join_spark.operators.spatial_join import SpatialJoin
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="rjs-attrib")
+    n_pts = int(os.environ.get("SPARK_GRAFT_SWEEP_N", "20000000"))
+    sj = SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
+    filters = [
+        F.col("value_c") > 100,
+        F.col("value_c") < 9900,
+        (F.col("event_id") % 7) != 0,
+        (F.col("event_id") % 11) != 0,
+    ]
+    out = {}
+    for n_f in range(5):
+        pts = synth_points(spark, n_pts, 256)
+        for f in filters[:n_f]:
+            pts = pts.filter(f)
+        t0 = time.perf_counter()
+        sj.hybrid_join(pts, include_zero=False).collect()
+        out[str(n_f)] = round(time.perf_counter() - t0, 3)
+    return {"metric": "attribute-filter scaling sweep", "n_points": n_pts, "sweep": out}
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--polys":
+        print(json.dumps(run_poly_sweep()))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--attrib":
+        print(json.dumps(run_attrib_sweep()))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--flagship-once":
         print(json.dumps(_flagship_once(sys.argv[2], sys.argv[3])))
         return

@@ -143,7 +143,24 @@ class SpatialJoin:
 
     # ------------------------------------------------------------ helpers
 
-    def _pairs_df(self, cell: np.ndarray, poly: np.ndarray, extra: dict | None = None) -> DataFrame:
+    # session-level cache of the small dimension DataFrames: building a
+    # 1M+-row DataFrame from pandas costs ~1s of driver time, and the
+    # artifact is immutable per (polyset, grid) — build once, reuse across
+    # queries (the reference rebuilds per query; see classify.py notes)
+    _PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+    def _pairs_df(
+        self,
+        cell: np.ndarray,
+        poly: np.ndarray,
+        extra: dict | None = None,
+        cache_key: str | None = None,
+    ) -> DataFrame:
+        if cache_key is not None:
+            key = (id(self.spark), self.polyset.name, self.grid, cache_key)
+            hit = self._PAIRS_CACHE.get(key)
+            if hit is not None:
+                return hit
         data = {"cell_id": cell.astype(np.int64), "poly_id": poly.astype(np.int64)}
         for k, (arr, _) in (extra or {}).items():
             data[k] = arr
@@ -157,7 +174,12 @@ class SpatialJoin:
                 for k, (_, dt) in (extra or {}).items()
             ]
         )
-        return self.spark.createDataFrame(pd.DataFrame(data), schema=schema)
+        df = self.spark.createDataFrame(pd.DataFrame(data), schema=schema)
+        if cache_key is not None:
+            if len(self._PAIRS_CACHE) > 64:
+                self._PAIRS_CACHE.clear()
+            self._PAIRS_CACHE[key] = df
+        return df
 
     def with_cell(self, points: DataFrame) -> DataFrame:
         """Tile assignment: attach the row-major cell id (native exprs,
@@ -231,7 +253,7 @@ class SpatialJoin:
         include_zero: bool = True,
     ) -> DataFrame:
         """J2 accurate: MBR candidate lists -> PIP everywhere."""
-        cand = self._pairs_df(self.tables.cand_cell, self.tables.cand_poly)
+        cand = self._pairs_df(self.tables.cand_cell, self.tables.cand_poly, cache_key="cand")
         pts = self.with_cell(points)
         joined = pts.join(F.broadcast(cand), "cell_id", "inner")
         exact = self._pip_filter(joined)
@@ -251,8 +273,8 @@ class SpatialJoin:
         t = self.tables
         int_c, int_p = t.interior_pairs()
         b_c, b_p, _, _ = t.boundary_pairs()
-        interior = self._pairs_df(int_c, int_p)
-        boundary = self._pairs_df(b_c, b_p)
+        interior = self._pairs_df(int_c, int_p, cache_key="interior")
+        boundary = self._pairs_df(b_c, b_p, cache_key="boundary")
 
         pts = self.with_cell(points).filter(F.col("cell_id").isNotNull())
         fast = pts.join(F.broadcast(interior), "cell_id", "inner")
@@ -380,7 +402,7 @@ class SpatialJoin:
         """J1 approximate: whole cells attributed by center-inside cover.
         Error bounded by epsilon when the grid was sized with
         epsilon_to_cell_size (GLFunction.cpp:26-30)."""
-        cover = self._pairs_df(self.tables.cover_cell, self.tables.cover_poly)
+        cover = self._pairs_df(self.tables.cover_cell, self.tables.cover_poly, cache_key="cover")
         cells = self._cell_partials(points, agg)
         per_poly = cells.join(F.broadcast(cover), "cell_id", "inner")
         out = per_poly.groupBy("poly_id").agg(*agg.exprs())
@@ -410,6 +432,7 @@ class SpatialJoin:
         boundary = self._pairs_df(
             b_c,
             b_p,
+            cache_key="boundary_frac",
             extra={
                 "frac": (b_f.astype(np.float64), T.DoubleType()),
                 "attributed": (b_ci.astype(np.bool_), T.BooleanType()),
@@ -419,7 +442,7 @@ class SpatialJoin:
 
         raster = (
             cells.join(
-                F.broadcast(self._pairs_df(t.cover_cell, t.cover_poly)),
+                F.broadcast(self._pairs_df(t.cover_cell, t.cover_poly, cache_key="cover")),
                 "cell_id",
                 "inner",
             )
