@@ -257,12 +257,12 @@ class PolyGridCache:
     rebuilds per query (GLFunction.cpp:65-156); we build once."""
 
     def __init__(self) -> None:
-        self._cache: dict[tuple[str, GridSpec], PolyGridTables] = {}
+        self._cache: dict[tuple, PolyGridTables] = {}
 
-    def get(self, grid: GridSpec, polyset: PolygonSet) -> PolyGridTables:
-        key = (polyset.name, grid)
+    def get(self, grid: GridSpec, polyset: PolygonSet, dtype=np.float64) -> PolyGridTables:
+        key = (polyset.name, grid, np.dtype(dtype).char)
         if key not in self._cache:
-            self._cache[key] = classify_cells(grid, polyset)
+            self._cache[key] = classify_cells(grid, polyset, dtype=dtype)
         return self._cache[key]
 
 

@@ -127,13 +127,20 @@ class SpatialJoin:
         grid: GridSpec,
         x: str = "x",
         y: str = "y",
+        dtype=np.float64,
     ) -> None:
+        """``dtype=np.float32`` reproduces the reference's storage
+        precision end-to-end (TaxiRecord.hpp:121-133 narrows coordinates
+        to float32): PIP and cell classification then make the identical
+        edge-case decisions as the reference binaries. Default float64
+        matches the SQL oracle bit-for-bit."""
         self.spark = spark
         self.polyset = polyset
         self.grid = grid
         self.x = x
         self.y = y
-        self.tables: PolyGridTables = POLY_GRID_CACHE.get(grid, polyset)
+        self.dtype = dtype
+        self.tables: PolyGridTables = POLY_GRID_CACHE.get(grid, polyset, dtype=dtype)
         # flat CSR polygon arrays broadcast to every executor once —
         # the analogue of the reference's GPU polygon textures
         # (GLFunction.cpp:158-197); a few MB even at 65k polygons.
@@ -195,6 +202,7 @@ class SpatialJoin:
         float64 (same IEEE op order as the SQL oracle); the kernel
         vectorizes over points x edges (index.glsl:47-67 rule)."""
         bc = self._bc_polys
+        dtype = self.dtype
 
         @F.pandas_udf(T.BooleanType())
         def _pip(x: pd.Series, y: pd.Series, poly: pd.Series) -> pd.Series:
@@ -205,6 +213,7 @@ class SpatialJoin:
                 poly.to_numpy(np.int64),
                 verts,
                 offsets,
+                dtype=dtype,
             )
             return pd.Series(mask)
 
@@ -326,6 +335,7 @@ class SpatialJoin:
             }
         )
         grid = self.grid
+        dtype = self.dtype
         n_polys = self.polyset.n_polys
         x_name, y_name = self.x, self.y
         want_sum = agg.col is not None
@@ -359,7 +369,9 @@ class SpatialJoin:
 
                 rows_b, polys_b = _csr_expand(art["boundary"], cells)
                 if len(rows_b):
-                    mask = pip_candidates(x[rows_b], y[rows_b], polys_b, verts, offsets)
+                    mask = pip_candidates(
+                        x[rows_b], y[rows_b], polys_b, verts, offsets, dtype=dtype
+                    )
                     pb = polys_b[mask]
                     cnt += np.bincount(pb, minlength=n_polys)
                     if want_sum:

@@ -77,3 +77,21 @@ def test_mercator_spark_equals_numpy_bitwise(spark):
     assert len(got) == len(ids)
     np.testing.assert_array_equal(got.loc[ids, "x"].to_numpy(), x_np[ids])
     np.testing.assert_array_equal(got.loc[ids, "y"].to_numpy(), y_np[ids])
+
+
+def test_float32_parity_mode_micro_fixture(spark):
+    """dtype=float32 reproduces the reference's storage precision; on the
+    micro fixture both precisions agree, and the float32 tables make the
+    same interior/boundary decisions the reference's float32 kernels do."""
+    from raster_join_spark.fixtures import micro_fixture
+    from raster_join_spark.geo.grid import GridSpec
+
+    px, py, polys = micro_fixture()
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": [f"p{i}" for i in range(5)], "x": px, "y": py})
+    )
+    grid = GridSpec(4.8, 4.8, 0.05, 0.05, 12, 12)
+    sj32 = SpatialJoin(spark, polys, grid, dtype=np.float32)
+    got = {r["poly_id"]: r["agg"] for r in sj32.hybrid_join(df).collect()}
+    assert got == {0: 2, 1: 3}
+    assert sj32.tables.cls_cell.dtype == np.int64
