@@ -1,0 +1,72 @@
+"""Custom stateful streaming operator: first-seen URL deduplication.
+
+A crawl firehose re-fetches pages; the training-data pipeline wants each
+url exactly once. Built on ``applyInPandasWithState`` (Arrow-batched,
+per-group state) — the custom-stateful-operator escape hatch for
+semantics the built-in streaming aggregations can't express:
+
+- stream is keyed by a url-hash BUCKET (not url!) so state rows stay
+  bounded and shuffle keys are uniform: 2^b buckets, each holding the
+  set of seen url hashes as a compact binary blob
+- per micro-batch and bucket, new urls are emitted and the bucket's seen
+  set is updated; duplicates (within or across batches) are dropped
+- state stores 8-byte xxhash64 digests, not urls: ~8 bytes per distinct
+  url, sharded across buckets — at 10^12 urls this is the standard
+  scale trade (false-positive probability ~n²/2^64 per bucket, negligible)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType([T.StructField("seen", T.BinaryType(), True)])
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+    ]
+)
+
+
+def _dedup_group(key, pdf_iter, state: GroupState):
+    seen = np.frombuffer(state.get[0], dtype=np.int64) if state.exists else np.empty(0, np.int64)
+    out_urls: list[str] = []
+    out_hashes: list[int] = []
+    seen_set = set(seen.tolist())
+    for pdf in pdf_iter:
+        for url, h in zip(pdf["url"], pdf["url_hash"]):
+            h = int(h)
+            if h not in seen_set:
+                seen_set.add(h)
+                out_urls.append(url)
+                out_hashes.append(h)
+    state.update((np.asarray(sorted(seen_set), dtype=np.int64).tobytes(),))
+    yield pd.DataFrame(
+        {
+            "bucket": np.full(len(out_urls), key[0], dtype=np.int64),
+            "url": out_urls,
+            "url_hash": np.asarray(out_hashes, dtype=np.int64),
+        }
+    )
+
+
+def streaming_first_seen(stream: DataFrame, n_bucket_bits: int = 6) -> DataFrame:
+    """Emit each url the first time it appears on the stream."""
+    keyed = stream.select(
+        F.pmod(F.xxhash64("url"), F.lit(1 << n_bucket_bits)).alias("bucket"),
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -75,3 +75,37 @@ def test_streaming_polygon_counts_match_batch(spark, points_dir, pts_schema, tmp
         .set_index("poly_id")["agg"]
     )
     assert got.sort_index().astype(int).equals(exp.sort_index().astype(int))
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: duplicates within and
+    across micro-batches are dropped; state persists between batches."""
+    import pandas as pd
+
+    from raster_join_spark.streaming.stateful import streaming_first_seen
+
+    src = str(tmp_path / "src")
+    # batch 1: u0..u9 plus dup of u0; batch 2 (separate file): u5..u14
+    pd1 = pd.DataFrame({"url": [f"u{i}" for i in range(10)] + ["u0"]})
+    pd2 = pd.DataFrame({"url": [f"u{i}" for i in range(5, 15)]})
+    spark.createDataFrame(pd1).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pd2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_first_seen(stream, n_bucket_bits=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT url FROM dedup_stream").toPandas()["url"].tolist()
+    assert sorted(got) == sorted({f"u{i}" for i in range(15)})
+    assert len(got) == 15  # no duplicates emitted
