@@ -117,8 +117,10 @@ def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction + casts run JVM-side inside whole-stage codegen.
     """
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    # `text` rides along for the byte-identity invariant; Catalyst prunes
+    # it out of every plan that doesn't select it (tests/test_plans.py)
     return spark.sql(
-        f"WITH {POINTS_CTE} SELECT url, warc_ts, lang, event_id, value_c, x, y FROM points"
+        f"WITH {POINTS_CTE} SELECT url, warc_ts, lang, event_id, value_c, x, y, text FROM points"
     )
 
 
