@@ -1,0 +1,82 @@
+"""Regenerate docs/PLANS.md: captured .explain('formatted') output for the
+key operators, with commentary. See tests/test_plans.py for the asserted
+plan properties."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from raster_join_spark.fixtures import COARSE_GRID, FINE_GRID, ORACLE_POLYS
+    from raster_join_spark.operators.spatial_join import SpatialJoin
+    from raster_join_spark.session import get_spark
+    from raster_join_spark.sources.pages import points_df
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    sf = "/root/testdata/sf0.001"
+
+    def plan_of(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    sj = SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
+    sjf = SpatialJoin(spark, ORACLE_POLYS, FINE_GRID)
+    pts = points_df(spark, sf)
+
+    sections = [
+        (
+            "Fused hybrid join (flagship, J3)",
+            "One MapInPandas pass emits <=16-row partial vectors per Arrow "
+            "batch; the only hash exchange carries partials, never points. "
+            "Filters on the events scan are pushed; `text`/`html` are pruned.",
+            plan_of(sj.hybrid_join(pts, include_zero=False)),
+        ),
+        (
+            "Raster join (J1) — pure JVM",
+            "Cell pre-aggregation (partial+final) then a broadcast hash join "
+            "against the driver-rasterized cover table; zero Python operators.",
+            plan_of(sjf.raster_join(pts, include_zero=False)),
+        ),
+        (
+            "Index join (J2)",
+            "Broadcast MBR-candidate join + Arrow PIP filter; no SortMergeJoin.",
+            plan_of(sj.index_join(pts, include_zero=False)),
+        ),
+        (
+            "Filtered scan (F1 + S6)",
+            "Attribute constraints reach the parquet scan as PushedFilters.",
+            plan_of(
+                pts.filter(
+                    (F.col("lang") == "purchase") & (F.col("value_c") > 2000)
+                ).select("url", "x", "y")
+            ),
+        ),
+    ]
+    out = [
+        "# Physical plans (captured from .explain('formatted'))",
+        "",
+        "Regenerate with `python tools/dump_plans.py`. Assertions over these",
+        "properties live in `tests/test_plans.py`.",
+        "",
+    ]
+    for title, blurb, plan in sections:
+        out += [f"## {title}", "", blurb, "", "```", plan.strip(), "```", ""]
+    docs = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs")
+    os.makedirs(docs, exist_ok=True)
+    with open(os.path.join(docs, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(os.path.join(docs, "PLANS.md"))
+
+
+if __name__ == "__main__":
+    main()
