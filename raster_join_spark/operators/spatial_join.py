@@ -57,31 +57,54 @@ from raster_join_spark.geo.pip import pip_candidates
 from raster_join_spark.geo.polygons import PolygonSet
 
 
-def _cell_csr(cells: np.ndarray, polys: np.ndarray) -> dict:
-    """Sort (cell, poly) pairs by cell into a CSR lookup: unique sorted
-    cells + [start, end) ranges into the poly array."""
+def _cell_csr(cells: np.ndarray, polys: np.ndarray, n_cells: int | None = None) -> dict:
+    """Sort (cell, poly) pairs by cell into a lookup. When the grid is
+    small enough (< ~32M cells) the [start, end) ranges are DENSE arrays
+    indexed directly by cell id — ~3x faster lookups than searchsorted in
+    the hot kernel; otherwise falls back to the sparse binary-search form.
+    """
     order = np.argsort(cells, kind="stable")
     sc = cells[order]
     sp = polys[order]
     uniq, starts = np.unique(sc, return_index=True)
     ends = np.r_[starts[1:], len(sc)]
-    return {"cells": uniq, "starts": starts, "ends": ends, "polys": sp}
+    out = {"cells": uniq, "starts": starts, "ends": ends, "polys": sp, "dense": None}
+    if n_cells is not None and 0 < n_cells <= 32_000_000:
+        ds = np.zeros(n_cells, dtype=np.int64)
+        de = np.zeros(n_cells, dtype=np.int64)
+        ds[uniq] = starts
+        de[uniq] = ends
+        out["dense"] = (ds, de)
+    return out
 
 
 def _csr_expand(csr: dict, cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """For each input row's cell, expand to (row_idx, poly_id) pairs for
-    every polygon listed under that cell — fully vectorized (searchsorted
-    + range expansion), no Python loop."""
-    uniq = csr["cells"]
-    idx = np.searchsorted(uniq, cells)
-    idx_c = np.clip(idx, 0, len(uniq) - 1)
-    hit = (len(uniq) > 0) & (uniq[idx_c] == cells) & (cells >= 0)
-    rows0 = np.nonzero(hit)[0]
-    if len(rows0) == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    s = csr["starts"][idx_c[rows0]]
-    e = csr["ends"][idx_c[rows0]]
-    counts = e - s
+    every polygon listed under that cell — fully vectorized, no Python
+    loop over rows."""
+    if csr.get("dense") is not None:
+        ds, de = csr["dense"]
+        valid = (cells >= 0) & (cells < len(ds))
+        cc = np.where(valid, cells, 0)
+        s = np.where(valid, ds[cc], 0)
+        e = np.where(valid, de[cc], 0)
+        counts = e - s
+        rows0 = np.nonzero(counts > 0)[0]
+        if len(rows0) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        s = s[rows0]
+        counts = counts[rows0]
+    else:
+        uniq = csr["cells"]
+        idx = np.searchsorted(uniq, cells)
+        idx_c = np.clip(idx, 0, len(uniq) - 1)
+        hit = (len(uniq) > 0) & (uniq[idx_c] == cells) & (cells >= 0)
+        rows0 = np.nonzero(hit)[0]
+        if len(rows0) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        s = csr["starts"][idx_c[rows0]]
+        e = csr["ends"][idx_c[rows0]]
+        counts = e - s
     tot = int(counts.sum())
     if tot == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -328,8 +351,8 @@ class SpatialJoin:
         b_c, b_p, _, _ = t.boundary_pairs()
         bc = self.spark.sparkContext.broadcast(
             {
-                "interior": _cell_csr(int_c, int_p),
-                "boundary": _cell_csr(b_c, b_p),
+                "interior": _cell_csr(int_c, int_p, self.grid.n_cells),
+                "boundary": _cell_csr(b_c, b_p, self.grid.n_cells),
                 "verts": self.polyset.verts,
                 "offsets": self.polyset.offsets,
             }
