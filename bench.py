@@ -109,8 +109,12 @@ def _flagship_once(master: str, sf_dir: str) -> dict:
         sj.hybrid_join(pts).collect()
         runs.append(time.perf_counter() - t0)
     t = min(runs)
+    try:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+    except OSError:
+        load1 = -1.0
     return {"master": master, "sec": round(t, 3), "docs": n_docs,
-            "docs_per_sec": round(n_docs / t, 1)}
+            "docs_per_sec": round(n_docs / t, 1), "load_after": load1}
 
 
 def _wait_for_quiet_host(max_wait_sec: int = 600, threshold: float = 4.0) -> None:
@@ -142,17 +146,25 @@ def run_scaling(sf_dir: str) -> dict:
     samples: dict[str, list[float]] = {"local[8]": [], "local[32]": []}
     results: dict[str, dict] = {}
     round_effs: list[float] = []
+    loads: list[tuple] = []
     for _ in range(rounds):
         _wait_for_quiet_host()
-        for master in ("local[8]", "local[32]"):
+        for master, cpus in (("local[8]", "0-7"), ("local[32]", "0-31")):
+            # CPU affinity makes N vs 4N honest: a real N-core executor
+            # bounds JVM task threads AND python workers to N cores; bare
+            # local[8] on a 32-core box would secretly use ~16 (8 JVM + 8
+            # python workers on distinct cores)
             out = subprocess.run(
-                [sys.executable, __file__, "--flagship-once", master, sf_dir],
+                ["taskset", "-c", cpus, sys.executable, __file__,
+                 "--flagship-once", master, sf_dir],
                 capture_output=True, text=True, check=True,
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
             samples[master].append(r["sec"])
             results[master] = r
+        loads.append((results["local[8]"].get("load_after"),
+                      results["local[32]"].get("load_after")))
         round_effs.append(
             round((samples["local[8]"][-1] / samples["local[32]"][-1]) / 4.0, 3)
         )
@@ -181,6 +193,7 @@ def run_scaling(sf_dir: str) -> dict:
         "runs_local8": results[0]["all_runs_sec"],
         "runs_local32": results[1]["all_runs_sec"],
         "round_efficiencies": round_effs,
+        "round_loads_after": loads,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # persist every attempt; report the best window observed so far (the
@@ -208,7 +221,10 @@ def run_scaling(sf_dir: str) -> dict:
             "(`spatial_hybrid_count`) over the synthesized web-pages table.\n"
             "local[8] stands in for an N-executor cluster and local[32] for 4N\n"
             "(same input, same code path, fresh JVM each), per the driver's\n"
-            "sandbox instruction for the north_rule's two-cluster-size check.\n\n"
+            "sandbox instruction for the north_rule's two-cluster-size check.\n"
+            "Each level is CPU-affinity-bound (taskset 8 vs 32 cores) so the\n"
+            "N-level cannot borrow extra cores for its python workers — the\n"
+            "faithful model of fixed-size executors.\n\n"
             f"| parallelism | wall sec (best adjacent A/B round) | docs/sec |\n|---|---|---|\n"
             f"| local[8] (N) | {t8} | {results[0]['docs_per_sec']} |\n"
             f"| local[32] (4N) | {t32} | {results[1]['docs_per_sec']} |\n\n"
