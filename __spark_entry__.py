@@ -280,6 +280,15 @@ def _q_emb_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_emb(spark, sf_dir), n_planes=6, min_cos_x100=30)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """rows-only: IVF ANN (k-means quantizer trained on a deterministic
+    sample; probe-and-rerank). Exactness vs brute force covered in pytest."""
+    from raster_join_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(spark, _emb(spark, sf_dir), ANN_QUERY, k=ANN_K, n_lists=8, n_probe=4)
+    return out.select("vec_id", "rank")
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> pooled feature vector via
     the deterministic FakeCodec (real codecs are deployment plug-ins)."""
@@ -314,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_ann_brute,
+        "ann_ivf_topk": _q_ann_ivf,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "text_simhash": _q_simhash,
         "emb_neardup_pairs": _q_emb_neardup,

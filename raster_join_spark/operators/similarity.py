@@ -156,6 +156,87 @@ def lsh_topk(
     )
 
 
+def _kmeans_np(
+    sample: np.ndarray, k: int, iters: int = 10, seed: int = 5
+) -> np.ndarray:
+    """Tiny deterministic k-means for IVF coarse quantization (driver-side
+    over a sample; no MLlib dependency). Returns (k, dim) centroids."""
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+    return cent
+
+
+def ivf_assign_col(vec_col: str, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id as a column expression: argmin over unrolled
+    squared distances — JVM-only, usable as a partition key at scale."""
+    best_id: Column = F.lit(0)
+    best_d: Column | None = None
+    for cid, c in enumerate(centroids):
+        # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; rank-equivalent: -2 v.c + ||c||^2
+        d = F.lit(float((c * c).sum())) + F.lit(-2.0) * dot_expr(vec_col, c)
+        if best_d is None:
+            best_d = d
+            best_id = F.lit(cid)
+        else:
+            cond = d < best_d
+            best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_id.cast("long")
+
+
+def ivf_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    query: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN — the classic scale path: coarse k-means quantizer assigns
+    every vector to an inverted list; a query probes only the n_probe
+    nearest lists and re-ranks exactly inside them. At 10^12 scale the
+    list id is the table's partition key, so a probe is partition-pruned
+    I/O; here the assignment column shows the same plan shape."""
+    # deterministic training sample: bare limit() has no ordering guarantee
+    sample = np.stack(
+        [
+            r[0]
+            for r in emb.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(train_sample)
+            .select(vec_col)
+            .collect()
+        ]
+    ).astype(np.float64)
+    cent = _kmeans_np(sample, k=n_lists, seed=seed)
+    q = np.asarray(query, dtype=np.float64)
+    qd = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(qd)[:n_probe]]
+    assigned = emb.withColumn("ivf_list", ivf_assign_col(vec_col, cent))
+    cand = assigned.filter(F.col("ivf_list").isin(probes))
+    scored = cand.select(F.col(id_col), dot_expr(vec_col, q).alias("score"))
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("score").desc(), F.col(id_col))),
+        )
+        .select(id_col, "rank", "score")
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     n_planes: int = 12,

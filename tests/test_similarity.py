@@ -92,3 +92,22 @@ def test_embedding_neardup_pairs(spark, emb):
     assert (pairs.cos >= 0.99).all()
     # no self pairs, canonical order
     assert (pairs.id_a < pairs.id_b).all()
+
+
+def test_ivf_topk_recall(spark, emb, emb_pdf):
+    """IVF with n_probe=4 of 8 lists: recall@10 >= 0.7 on the clustered
+    fixture (queries near centers land in probed lists)."""
+    rng = np.random.RandomState(6)
+    centers = np.stack(
+        [emb_pdf[emb_pdf.label == l].embedding.iloc[0] for l in range(5)]
+    ).astype(np.float64)
+    recalls = []
+    for qi in range(5):
+        q = centers[qi] + rng.normal(scale=0.1, size=16)
+        exact = set(_np_topk(emb_pdf, q, 10))
+        got = set(
+            S.ivf_topk(spark, emb, q, k=10, n_lists=8, n_probe=4, train_sample=300)
+            .toPandas()["vec_id"].tolist()
+        )
+        recalls.append(len(got & exact) / 10)
+    assert np.mean(recalls) >= 0.7, recalls
