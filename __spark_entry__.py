@@ -245,6 +245,19 @@ def _q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
+def _q_token_bpe(spark, sf_dir):
+    from raster_join_spark.operators.textops import token_count_bpe
+
+    return token_count_bpe(_docs(spark, sf_dir))
+
+
+def _q_winnow(spark, sf_dir):
+    """rows-only: rolling-hash winnowing fingerprints (MOSS scheme)."""
+    from raster_join_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def _q_fingerprint(spark, sf_dir):
     from raster_join_spark.operators.textops import fingerprint
 
@@ -322,6 +335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
+        "text_token_bpe": _q_token_bpe,
+        "text_winnow_fp": _q_winnow,
         "ann_cosine_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
         "dedup_minhash_pairs": _q_minhash_pairs,
@@ -360,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": X.quality_score_sql(),
         "text_lang_id": X.lang_id_sql(),
         "text_fingerprint": X.fingerprint_sql(),
+        "text_token_bpe": X.token_count_bpe_sql(),
         "ann_cosine_topk": S.brute_force_topk_sql(ANN_QUERY, k=ANN_K),
         # minhash/simhash/neardup/media: deterministic but hash-family /
         # codec based -> not SQL-expressible; driver records rows-only.

@@ -230,6 +230,66 @@ def minhash_dedup(docs: DataFrame, **kw) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").select("doc_id")
 
 
+# ----------------------------------------------------- winnowing (rolling)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document fingerprinting via rolling hash + winnowing (MOSS scheme):
+    Rabin-Karp rolling hash over character k-grams, then keep the minimum
+    hash of every `window` consecutive hashes (rightmost-min rule).
+    Output: one row per selected fingerprint (doc_id, pos, fp) — join on
+    fp to find copied passages across documents. Arrow-batched; the
+    rolling update is O(1) per character, vectorized with cumulative
+    products... here computed with a numpy sliding window (exact)."""
+    B = np.uint64(1000003)
+    MASK = np.uint64((1 << 61) - 1)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("pos", T.IntegerType(), False),
+            T.StructField("fp", T.LongType(), False),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            ids, poss, fps = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                n = len(b)
+                if n < k:
+                    continue
+                # k-gram hashes: polynomial in base B (uint64 wraparound
+                # + 61-bit mask; any deterministic hash works) — k tiny,
+                # so k vectorized ops over all grams at once
+                h = b[: n - k + 1].copy()
+                for j in range(1, k):
+                    h = (h * B + b[j : n - k + 1 + j]) & MASK
+                # winnow: min of each `window` consecutive hashes
+                if len(h) < window:
+                    sel = np.array([int(np.argmin(h))])
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+                    sel = np.unique(sw.argmin(axis=1) + np.arange(len(sw)))
+                ids.extend([did] * len(sel))
+                poss.extend(sel.tolist())
+                fps.extend(h[sel].astype(np.int64).tolist())
+            yield pd.DataFrame(
+                {id_col: np.asarray(ids, np.int64),
+                 "pos": np.asarray(poss, np.int32),
+                 "fp": np.asarray(fps, np.int64)}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(fn, schema)
+
+
 # ---------------------------------------------------------------- simhash
 
 

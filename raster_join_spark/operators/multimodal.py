@@ -121,6 +121,49 @@ def extract_features(
     return pruned.mapInPandas(fn, schema)
 
 
+def resize_media(
+    df: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    payload_col: str = "html",
+    id_col: str = "url",
+    codec: Codec | None = None,
+) -> DataFrame:
+    """Decode + nearest-neighbor resize to (out_h, out_w), re-emitted as
+    bytes — the thumbnail/normalize stage of a media pipeline. The resize
+    math is real (index-gather); only the codec is a stub."""
+    codec = codec or FakeCodec()
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType(), False),
+            T.StructField("thumb", T.BinaryType(), False),
+            T.StructField("thumb_w", T.IntegerType(), False),
+            T.StructField("thumb_h", T.IntegerType(), False),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            ids, thumbs = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = codec.decode(bytes(payload))
+                h, w = img.shape
+                ry = (np.arange(out_h) * h) // out_h
+                rx = (np.arange(out_w) * w) // out_w
+                ids.append(i)
+                thumbs.append(img[ry][:, rx].astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "thumb": thumbs,
+                    "thumb_w": np.full(len(ids), out_w, np.int32),
+                    "thumb_h": np.full(len(ids), out_h, np.int32),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema)
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "html",

@@ -125,6 +125,35 @@ FROM documents
 """
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the shape GPT-style byte-pair pre-tokenization uses (no backslashes so
+# the same pattern text runs on Spark's Java regex and DuckDB's RE2)
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Token counts under the BPE-ish regex pre-tokenizer (JVM-side
+    regexp_extract_all) next to plain whitespace counts."""
+    toks_ws = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    toks_bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks_ws).alias("n_ws_tokens"),
+        F.size(toks_bpe).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks_bpe)).alias("n_uniq_bpe"),
+    )
+
+
+def token_count_bpe_sql() -> str:
+    return f"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '{BPE_PATTERN}'))) AS n_uniq_bpe
+FROM documents
+"""
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Content fingerprint: md5 of the text bytes (exact-dup key) plus a
     cheap prefix bucket — the document-fingerprinting primitive."""

@@ -109,3 +109,23 @@ def test_quality_and_lang_and_fingerprint(spark, docs, docs_pdf):
         got = fn(docs).toPandas().sort_values("doc_id", ignore_index=True)
         exp = _duck(docs_pdf, sql).sort_values("doc_id", ignore_index=True)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_winnow_fingerprints_shared_passages(spark, docs, docs_pdf):
+    got = D.winnow_fingerprints(docs, k=5, window=4).toPandas()
+    # identical docs share ALL fingerprints
+    f0 = set(got[got.doc_id == 0].fp)
+    f80 = set(got[got.doc_id == 80].fp)
+    assert f0 == f80 and len(f0) > 0
+    # near-dup shares most fingerprints with its source
+    f1 = set(got[got.doc_id == 1].fp)
+    f82 = set(got[got.doc_id == 82].fp)
+    assert len(f1 & f82) / max(len(f1 | f82), 1) > 0.5
+    # positions in range
+    assert (got.pos >= 0).all()
+
+
+def test_token_count_bpe(spark, docs, docs_pdf):
+    got = X.token_count_bpe(docs).toPandas().sort_values("doc_id", ignore_index=True)
+    exp = _duck(docs_pdf, X.token_count_bpe_sql()).sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

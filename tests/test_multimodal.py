@@ -53,3 +53,12 @@ def test_frame_sample_one_to_n(spark, media_df):
     assert len(frames) == 50  # FakeCodec is single-frame
     assert (frames.frame_idx == 0).all()
     assert all(isinstance(b, (bytes, bytearray)) for b in frames.frame_bytes)
+
+
+def test_resize_media(spark, media_df):
+    from raster_join_spark.operators.multimodal import resize_media
+
+    out = resize_media(media_df, out_w=8, out_h=8).toPandas()
+    assert len(out) == 50
+    assert (out.thumb_w == 8).all() and (out.thumb_h == 8).all()
+    assert all(len(t) == 64 for t in out.thumb)
