@@ -291,12 +291,69 @@ class SpatialJoin:
         exact = self._pip_filter(joined)
         return self._finalize(exact, agg, include_zero)
 
-    def assign_polygons(self, points: DataFrame, cols: Iterable[str] = ("url",)) -> DataFrame:
+    def assign_polygons(
+        self, points: DataFrame, cols: Iterable[str] = ("url",), fused: bool = True
+    ) -> DataFrame:
         """Per-point polygon assignment (the north_star's per-point tile
         assignment output): exact hybrid-path resolution, one row per
-        (point, containing polygon)."""
+        (point, containing polygon). The fused form emits pairs from one
+        Arrow pass (no JVM pair materialization + re-filter)."""
+        if fused:
+            return self._fused_pairs(points, list(cols))
         pairs = self._exact_pairs(points)
         return pairs.select(*cols, "cell_id", "poly_id")
+
+    def _fused_pairs(self, points: DataFrame, cols: list[str]) -> DataFrame:
+        """One mapInPandas pass: per batch, interior memberships via CSR
+        lookup, boundary memberships via exact PIP, emit (cols..., cell_id,
+        poly_id) pairs directly."""
+        t = self.tables
+        int_c, int_p = t.interior_pairs()
+        b_c, b_p, _, _ = t.boundary_pairs()
+        bc = self.spark.sparkContext.broadcast(
+            {
+                "interior": _cell_csr(int_c, int_p, self.grid.n_cells),
+                "boundary": _cell_csr(b_c, b_p, self.grid.n_cells),
+                "verts": self.polyset.verts,
+                "offsets": self.polyset.offsets,
+            }
+        )
+        grid = self.grid
+        dtype = self.dtype
+        x_name, y_name = self.x, self.y
+        in_schema = points.select(*cols, x_name, y_name).schema
+        schema = T.StructType(
+            [f for f in in_schema if f.name in cols]
+            + [
+                T.StructField("cell_id", T.LongType(), False),
+                T.StructField("poly_id", T.LongType(), False),
+            ]
+        )
+
+        def fn(batches):
+            art = bc.value
+            verts, offsets = art["verts"], art["offsets"]
+            for pdf in batches:
+                x = pdf[x_name].to_numpy(np.float64)
+                y = pdf[y_name].to_numpy(np.float64)
+                cells = grid.cell_ids_np(x, y)
+                ri, pi = _csr_expand(art["interior"], cells)
+                rb, pb = _csr_expand(art["boundary"], cells)
+                if len(rb):
+                    m = pip_candidates(x[rb], y[rb], pb, verts, offsets, dtype=dtype)
+                    rb, pb = rb[m], pb[m]
+                rows = np.concatenate([ri, rb])
+                polys = np.concatenate([pi, pb])
+                out = {c: pdf[c].to_numpy()[rows] for c in cols}
+                out["cell_id"] = cells[rows]
+                out["poly_id"] = polys
+                yield pd.DataFrame(out)
+
+        target = max(self.spark.sparkContext.defaultParallelism, 1)
+        src = points.select(*cols, x_name, y_name)
+        if src.rdd.getNumPartitions() > 2 * target:
+            src = src.coalesce(2 * target)
+        return src.mapInPandas(fn, schema)
 
     def _exact_pairs(self, points: DataFrame) -> DataFrame:
         """Hybrid-path exact (point, poly) pairs: interior cells skip PIP
