@@ -135,6 +135,24 @@ class PolygonSet:
         )
 
 
+def load_collections(list_path: str) -> dict[str, PolygonSet]:
+    """Load a polygon-list file mapping ``collectionName,fileName`` per
+    line (relative to the list file's directory), the reference's
+    multi-collection catalog (PolyHandler.cpp:20-40)."""
+    import os
+
+    base = os.path.dirname(os.path.abspath(list_path))
+    out: dict[str, PolygonSet] = {}
+    with open(list_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            name, fname = (s.strip() for s in line.split(",", 1))
+            out[name] = PolygonSet.load_text(os.path.join(base, fname), name=name)
+    return out
+
+
 # -- deterministic generators (seeded; no external data) -----------------
 
 

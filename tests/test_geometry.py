@@ -296,3 +296,35 @@ def test_boundary_fraction_in_unit_range():
     assert (t.cls_frac[b] >= 0.0).all() and (t.cls_frac[b] <= 1.0).all()
     # interior cells carry fraction 1
     assert (t.cls_frac[~b] == 1.0).all()
+
+
+def test_polygon_collection_list_file(tmp_path):
+    """Reference multi-collection catalog format (PolyHandler.cpp:20-40)."""
+    from raster_join_spark.geo.polygons import load_collections
+
+    a = blob_polygons(2, 0, 0, 10, 10, seed=1)
+    b = grid_polygons(4, 0, 0, 4, 4)
+    a.save_text(str(tmp_path / "a.txt"))
+    b.save_text(str(tmp_path / "b.txt"))
+    (tmp_path / "list.txt").write_text("neigh,a.txt\nzones,b.txt\n")
+    cols = load_collections(str(tmp_path / "list.txt"))
+    assert set(cols) == {"neigh", "zones"}
+    assert cols["neigh"].n_polys == 2 and cols["zones"].n_polys == 4
+    assert cols["zones"].name == "zones"
+
+
+def test_sliver_polygon_classification():
+    """Near-degenerate sliver (FIXTURES.md §2): a polygon thinner than a
+    cell must classify as all-boundary and keep PIP-exact counts."""
+    sliver = PolygonSet.from_list(
+        [[(1.0, 1.0), (9.0, 1.02), (9.0, 1.05), (1.0, 1.07)]], name="sliver"
+    )
+    g = GridSpec(0.0, 0.0, 1.0, 1.0, 10, 10)
+    t = classify_cells(g, sliver)
+    assert len(t.cls_cell) > 0
+    assert (t.cls_kind == BOUNDARY).all()  # thinner than any cell
+    # points in/near the sliver resolve exactly via PIP
+    px = np.array([5.0, 5.0, 5.0])
+    py = np.array([1.03, 1.10, 0.99])
+    m = pip_mask(px, py, sliver.poly_verts(0))
+    assert m.tolist() == [True, False, False]
