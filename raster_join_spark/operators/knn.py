@@ -55,12 +55,24 @@ def knn_join(
     # cache: probed once per expansion round
     pts = pts.persist()
     try:
+        # density-based initial radius: size the first probe disk to hold
+        # ~4k expected candidates so dense queries certify in one round
+        # (each driver round is a scheduling barrier — minimize rounds)
+        n_total = pts.count()
+        density = n_total / max(grid.n_cells, 1)
+        if density > 0:
+            import math as _math
+
+            r_init = max(0, int(_math.ceil(_math.sqrt((4.0 * k) / density) / 2.0)) - 1)
+        else:
+            r_init = 0
+        r_init = min(r_init, max(grid.nx, grid.ny) // 4)
         qxp = {q: int((qx - grid.x0) // grid.cell_w) for q, qx, _ in queries}
         qyp = {q: int((qy - grid.y0) // grid.cell_h) for q, _, qy in queries}
         qpos = {q: (qx, qy) for q, qx, qy in queries}
         pending = {q for q, _, _ in queries}
 
-        r = 0
+        r = r_init
         next_step = 1
         result: DataFrame | None = None
         while pending and r <= max_radius:
