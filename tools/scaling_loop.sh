@@ -4,6 +4,6 @@
 cd /root/repo
 for i in $(seq 1 "${1:-6}"); do
   echo "=== scaling attempt $i $(date)"
-  timeout 900 python bench.py --scaling 2>/dev/null | tail -1
-  sleep "${2:-700}"
+  timeout 1500 env SPARK_GRAFT_SCALE_ROUNDS=1 python bench.py --scaling 2>/dev/null | tail -1
+  sleep "${2:-400}"
 done
