@@ -202,3 +202,12 @@ def test_coarse_scan_superset_then_exact(spark, points_df, polyset, grid, random
     ).count()
     assert n_coarse >= int(exact_mask.sum())
     assert n_exact_df == int(exact_mask.sum())
+
+
+def test_jvm_pip_mode_equals_fused(spark, points_df, polyset, grid, random_points):
+    """The all-JVM unrolled-PIP plan (fused='jvm') produces identical
+    results to the Arrow kernel plan."""
+    sj = SpatialJoin(spark, polyset, grid)
+    a = sj.hybrid_join(points_df).orderBy("poly_id").toPandas()
+    b = sj.hybrid_join(points_df, fused="jvm").orderBy("poly_id").toPandas()
+    assert a["agg"].tolist() == b["agg"].tolist()
