@@ -68,6 +68,41 @@ def windowed_cell_counts(
     )
 
 
+def windowed_polygon_counts(
+    stream: DataFrame,
+    sj: SpatialJoin,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Fully declarative streaming spatial aggregation: tumbling event-time
+    windows x polygon via the raster cover broadcast join (stream-static
+    joins are supported natively; the polygon side is a static broadcast).
+    Approximate (J1 whole-cell attribution) — the declarative counterpart
+    of streaming_polygon_counts' exact foreachBatch path, with watermarked
+    bounded state."""
+    cover = sj._pairs_df(
+        sj.tables.cover_cell, sj.tables.cover_poly, cache_key="cover"
+    )
+    cells = (
+        stream.withColumn("cell_id", sj.grid.cell_id_col(F.col(sj.x), F.col(sj.y)))
+        .filter(F.col("cell_id").isNotNull())
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    )
+    joined = cells.join(F.broadcast(cover), "cell_id", "inner")
+    return (
+        joined.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("poly_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "poly_id",
+            "cnt",
+        )
+    )
+
+
 def streaming_polygon_counts(
     stream: DataFrame,
     sj: SpatialJoin,

@@ -109,3 +109,41 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     got = spark.sql("SELECT url FROM dedup_stream").toPandas()["url"].tolist()
     assert sorted(got) == sorted({f"u{i}" for i in range(15)})
     assert len(got) == 15  # no duplicates emitted
+
+
+def test_windowed_polygon_counts_match_batch(spark, points_dir, pts_schema, tmp_path):
+    """Declarative watermarked window x polygon (raster cover join) vs the
+    equivalent batch aggregation."""
+    from raster_join_spark.streaming.windowed import windowed_polygon_counts
+
+    sj = SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
+    stream = stream_points(spark, points_dir, pts_schema, max_files_per_trigger=2)
+    agg = windowed_polygon_counts(stream, sj, window="6 hours", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_polys")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT win_start, poly_id, cnt FROM win_polys").toPandas()
+
+    batch = spark.read.parquet(points_dir)
+    cover = sj._pairs_df(sj.tables.cover_cell, sj.tables.cover_poly, cache_key="cover")
+    exp = (
+        batch.withColumn("cell_id", COARSE_GRID.cell_id_col(F.col("x"), F.col("y")))
+        .filter(F.col("cell_id").isNotNull())
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        .join(F.broadcast(cover), "cell_id", "inner")
+        .groupBy(F.window("warc_ts", "6 hours").alias("win"), "poly_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "poly_id", "cnt")
+        .toPandas()
+    )
+    key = ["win_start", "poly_id"]
+    assert got.sort_values(key, ignore_index=True).equals(
+        exp.sort_values(key, ignore_index=True)
+    )
+    assert len(got) > 0
