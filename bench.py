@@ -112,9 +112,12 @@ def _flagship_once(master: str, sf_dir: str) -> dict:
         return min(runs)
 
     # headline: the raster join (J1, the paper's title operator) — pure
-    # JVM, measured at 4B rows so the ~3s fixed pipeline floor amortizes
+    # JVM, measured at 4B rows so fixed pipeline costs amortize; 256
+    # partitions (15.6M rows each) keep the single-threaded driver
+    # scheduling loop out of the measurement (1024 tasks cost the
+    # 32-thread level ~2-3s of serial dispatch)
     t_raster = best_of(lambda: SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
-                       .raster_join(synth_points(spark, n_raster, 1024),
+                       .raster_join(synth_points(spark, n_raster, 256),
                                     include_zero=False).collect())
     # secondary: the accurate fused hybrid join (Arrow kernel path)
     t_hybrid = best_of(lambda: SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
