@@ -243,11 +243,18 @@ def run_scaling(sf_dir: str) -> dict:
     hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
     with open(hist_path, "a") as f:
         f.write(json.dumps(report) + "\n")
+    # best SOUND sample: super-unity efficiencies mean external load hit
+    # the 8-core level disproportionately — not a claim we can stand on,
+    # so rank by efficiency capped at 1.0 and prefer samples <= 1.05
+    def _soundness(r):
+        e = r.get("scaling_efficiency", 0)
+        return (min(e, 1.0), -max(e - 1.05, 0))
+
     best = report
     with open(hist_path) as f:
         for line in f:
             r = json.loads(line)
-            if r.get("scaling_efficiency", 0) > best.get("scaling_efficiency", 0):
+            if _soundness(r) > _soundness(best):
                 best = r
     report["best_observed"] = {
         "scaling_efficiency": best["scaling_efficiency"],
