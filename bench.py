@@ -248,7 +248,7 @@ def run_scaling(sf_dir: str) -> dict:
     # so rank by efficiency capped at 1.0 and prefer samples <= 1.05
     def _soundness(r):
         e = r.get("scaling_efficiency", 0)
-        return (min(e, 1.0), -max(e - 1.05, 0))
+        return e if e <= 1.05 else 0.0  # super-unity = noise artifact
 
     best = report
     with open(hist_path) as f:
