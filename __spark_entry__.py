@@ -304,12 +304,18 @@ def _q_ann_ivf(spark, sf_dir):
 
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> pooled feature vector via
-    the deterministic FakeCodec (real codecs are deployment plug-ins)."""
+    the deterministic FakeCodec (real codecs are deployment plug-ins).
+    The library API returns array<double>; the driver-facing query
+    projects hash-stable scalar columns f0..f7 (the driver's
+    canonicalizer cannot sort list cells)."""
     from raster_join_spark.operators.multimodal import extract_features
     from raster_join_spark.sources.pages import pages_df
 
     pages = pages_df(spark, sf_dir)
-    return extract_features(pages, payload_col="html", id_col="url")
+    feats = extract_features(pages, payload_col="html", id_col="url")
+    return feats.select(
+        "url", *[F.col("features")[i].alias(f"f{i}") for i in range(8)]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

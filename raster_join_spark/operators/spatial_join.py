@@ -472,12 +472,20 @@ class SpatialJoin:
         want_sum = agg.col is not None
         cols = [x_name, y_name] + ([agg.col] if want_sum else [])
         agg_col = agg.col
+        # integral inputs keep integral partials end-to-end: the final
+        # SUM is then LongType, matching the BIGINT oracle bit-for-bit
+        # (per-batch float64 bincount is exact below 2^53, re-emitted as
+        # int64 before the exchange — no float accumulation crosses it)
+        integral = want_sum and isinstance(
+            points.schema[agg.col].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        )
 
         schema = T.StructType(
             [
                 T.StructField("poly_id", T.LongType(), False),
                 T.StructField("_cnt", T.LongType(), False),
-                T.StructField("_sum", T.DoubleType(), True),
+                T.StructField("_sum", T.LongType() if integral else T.DoubleType(), True),
             ]
         )
 
@@ -509,11 +517,15 @@ class SpatialJoin:
                         sm += np.bincount(pb, weights=val[rows_b][mask], minlength=n_polys)
 
                 nz = np.nonzero(cnt)[0]
+                if want_sum:
+                    sm_out = sm[nz].astype(np.int64) if integral else sm[nz]
+                else:
+                    sm_out = np.full(len(nz), np.nan)
                 yield pd.DataFrame(
                     {
                         "poly_id": nz.astype(np.int64),
                         "_cnt": cnt[nz],
-                        "_sum": sm[nz] if want_sum else np.full(len(nz), np.nan),
+                        "_sum": sm_out,
                     }
                 )
 

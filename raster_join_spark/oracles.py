@@ -123,8 +123,8 @@ acc AS (
 )
 SELECT r.poly_id,
        r.cnt AS cnt,
-       r.cnt - coalesce(a.fp1, 0) AS lo1,
-       r.cnt + coalesce(a.fn1, 0) AS hi1
+       CAST(r.cnt - coalesce(a.fp1, 0) AS BIGINT) AS lo1,
+       CAST(r.cnt + coalesce(a.fn1, 0) AS BIGINT) AS hi1
 FROM raster r LEFT JOIN acc a ON a.poly_id = r.poly_id
 """
 

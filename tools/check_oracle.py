@@ -62,6 +62,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
         ok = True
         for c in g.columns:
             a, b = g[c].to_numpy(), x[c].to_numpy()
+            # strict dtype parity: the driver's value-hash distinguishes
+            # int64 from float64, so a cross-dtype match is still a FAIL
+            if (a.dtype.kind in "iu") != (b.dtype.kind in "iu"):
+                print(
+                    f"[FAIL] {name}: column {c} dtype mismatch "
+                    f"spark={a.dtype} duck={b.dtype}"
+                )
+                ok = False
+                failures += 1
+                break
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 same = np.allclose(
                     a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True
