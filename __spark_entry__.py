@@ -137,6 +137,21 @@ def _q_fullscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _q_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2's real ingest math: Web-Mercator world coords (zoom 22),
+    US-box filter, float32 narrowing — all JVM expressions
+    (geo/mercator.geo2world_cols; Utils.h:9-18, UsefulFuncs.cpp:578-597)."""
+    from raster_join_spark.geo.mercator import geo2world_cols
+
+    pts = _points(spark, sf_dir)
+    lat = F.col("y") / F.lit(1_000_000.0)
+    lon = F.col("x") / F.lit(1_000_000.0)
+    keep, wx, wy = geo2world_cols(lat, lon)
+    return pts.select("url", keep.alias("keep"), wx.alias("wx"), wy.alias("wy")).filter(
+        F.col("keep")
+    ).select("url", "wx", "wy")
+
+
 RADIUS_RX, RADIUS_RY = 2_000_000.0, 1_500_000.0
 
 
@@ -252,7 +267,8 @@ def _q_token_bpe(spark, sf_dir):
 
 
 def _q_winnow(spark, sf_dir):
-    """rows-only: rolling-hash winnowing fingerprints (MOSS scheme)."""
+    """Winnowing fingerprints (MOSS scheme), md5-derived gram hash —
+    oracle-checked against the lag/lead SQL twin."""
     from raster_join_spark.operators.dedup import winnow_fingerprints
 
     return winnow_fingerprints(_docs(spark, sf_dir))
@@ -271,8 +287,8 @@ def _q_ann_brute(spark, sf_dir):
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    """rows-only check: LSH is hash-randomized by design (deterministic
-    seed, but not SQL-expressible)."""
+    """MinHash + banded LSH candidate pairs — fully JVM, seeded
+    md5-derived hash family shared with the DuckDB oracle."""
     from raster_join_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(spark, sf_dir), k=64, bands=16, shingle_w=3)
@@ -289,17 +305,20 @@ def _q_emb_neardup(spark, sf_dir):
 
     # threshold 0.30: the driver's embeddings are near-orthogonal random
     # vectors, so 0.9-cosine dups don't exist at sf0.01; 0.30 yields a
-    # non-trivial pair set for the rows-only check
-    return embedding_neardup_pairs(_emb(spark, sf_dir), n_planes=6, min_cos_x100=30)
+    # non-trivial pair set; oracle-checked against the SQL twin
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir), n_planes=6, min_cos_x100=30, dim=64
+    )
 
 
 def _q_ann_ivf(spark, sf_dir):
-    """rows-only: IVF ANN (k-means quantizer trained on a deterministic
-    sample; probe-and-rerank). Exactness vs brute force covered in pytest."""
+    """IVF ANN (k-means quantizer trained on a deterministic sample;
+    probe-and-rerank) — the trained centroids are driver constants, so
+    the oracle reproduces assignment+rerank as generated SQL."""
     from raster_join_spark.operators.similarity import ivf_topk
 
     out = ivf_topk(spark, _emb(spark, sf_dir), ANN_QUERY, k=ANN_K, n_lists=8, n_probe=4)
-    return out.select("vec_id", "rank")
+    return out.select("vec_id", F.col("rank").cast("long").alias("rank"))
 
 
 def _q_media_features(spark, sf_dir):
@@ -327,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_raster_count": _q_raster_count,
         "spatial_error_bounds": _q_error_bounds,
         "tile_assign": _q_tile_assign,
+        "mercator_assign": _q_mercator,
         "point_poly_assign": _q_point_poly,
         "coarse_scan": _q_coarse_scan,
         "fullscan_filter": _q_fullscan,
@@ -367,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_raster_count": oracles.raster_count_sql(),
         "spatial_error_bounds": oracles.error_bounds_sql(),
         "tile_assign": oracles.tile_assign_sql(),
+        "mercator_assign": oracles.mercator_assign_sql(),
         "point_poly_assign": oracles.point_poly_sql(),
         "coarse_scan": oracles.coarse_scan_sql(COARSE_GRID, BOX),
         "fullscan_filter": oracles.fullscan_sql(BOX, T0, T1),
@@ -383,6 +404,14 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": X.fingerprint_sql(),
         "text_token_bpe": X.token_count_bpe_sql(),
         "ann_cosine_topk": S.brute_force_topk_sql(ANN_QUERY, k=ANN_K),
-        # minhash/simhash/neardup/media: deterministic but hash-family /
-        # codec based -> not SQL-expressible; driver records rows-only.
+        "text_winnow_fp": D.winnow_fingerprints_sql(),
+        "dedup_minhash_pairs": D.minhash_lsh_pairs_sql(
+            k=64, bands=16, shingle_w=3
+        ),
+        "text_simhash": D.simhash_sql(),
+        "ann_ivf_topk": S.ivf_topk_sql(ANN_QUERY, k=ANN_K, n_lists=8, n_probe=4),
+        "emb_neardup_pairs": S.embedding_neardup_sql(
+            n_planes=6, min_cos_x100=30, dim=64
+        ),
+        # media_features: codec-based -> not SQL-expressible; rows-only.
     }

@@ -151,6 +151,15 @@ def _kernel_scaling_md() -> str:
     )
 
 
+def _hybrid_rootcause_md() -> str:
+    """Inline the hybrid-path scaling root-cause analysis (written by
+    tools/diag_hybrid.py) into BASELINE.md when present."""
+    path = os.path.join(REPO, "BENCH", "hybrid_rootcause.md")
+    if not os.path.exists(path):
+        return ""
+    return open(path).read().rstrip() + "\n\n"
+
+
 def _wait_for_quiet_host(max_wait_sec: int = 600, threshold: float = 4.0) -> None:
     """Best-effort: postpone measurement while the (externally shared)
     host shows high load. Gives up after max_wait so runs always finish."""
@@ -249,64 +258,94 @@ def run_scaling(sf_dir: str) -> dict:
     hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
     with open(hist_path, "a") as f:
         f.write(json.dumps(report) + "\n")
-    # best SOUND sample: super-unity efficiencies mean external load hit
-    # the 8-core level disproportionately — not a claim we can stand on,
-    # so rank by efficiency capped at 1.0 and prefer samples <= 1.05
-    def _soundness(r):
-        e = r.get("scaling_efficiency", 0)
-        return e if e <= 1.05 else 0.0  # super-unity = noise artifact
 
-    best = report
-    with open(hist_path) as f:
-        for line in f:
-            r = json.loads(line)
-            if _soundness(r) > _soundness(best):
-                best = r
+    # SOUND = efficiency <= 1.05 (super-unity means external load hit the
+    # 8-core level disproportionately — a noise artifact, never a claim);
+    # headline values are CAPPED at 1.0 so a noisy 1.04 cannot outrank an
+    # honest 0.95, and the median of sound rounds is reported alongside
+    # the best so a skeptic sees typical behavior, not a cherry-pick.
+    def _sound(e: float | None) -> bool:
+        return e is not None and 0 < e <= 1.05
+
+    hist = [json.loads(line) for line in open(hist_path)]
+    raster_rounds: list[float] = []
+    hybrid_rounds: list[float] = []
+    for r in hist:
+        raster_rounds += [e for e in r.get("round_efficiencies", []) if _sound(e)]
+        hybrid_rounds += [
+            e for e in r.get("round_efficiencies_hybrid", []) if _sound(e)
+        ]
+
+    def _stats(vals: list[float]) -> dict:
+        if not vals:
+            return {"best": None, "median": None, "n_sound": 0}
+        capped = sorted(min(v, 1.0) for v in vals)
+        return {
+            "best": capped[-1],
+            "median": round(capped[len(capped) // 2], 3),
+            "n_sound": len(capped),
+        }
+
+    best = max(
+        (r for r in hist if _sound(r.get("scaling_efficiency"))),
+        key=lambda r: min(r["scaling_efficiency"], 1.0),
+        default=report,
+    )
     report["best_observed"] = {
-        "scaling_efficiency": best["scaling_efficiency"],
+        "scaling_efficiency": min(best["scaling_efficiency"], 1.0),
         "t_local8_sec": best["t_local8_sec"],
         "t_local32_sec": best["t_local32_sec"],
         "docs": best["docs"],
     }
+    report["raster_rounds_stats"] = _stats(raster_rounds)
+    report["hybrid_rounds_stats"] = _stats(hybrid_rounds)
+    rs, hs = report["raster_rounds_stats"], report["hybrid_rounds_stats"]
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "w") as f:
         f.write(
             "# BENCH/BASELINE — throughput at two parallelism levels\n\n"
             "Headline job: the raster join (J1, the reference paper's title\n"
             "operator; pure JVM) at 4B synthesized points; secondary job: the\n"
-            "accurate fused hybrid join at 100M points.\n"
-            "local[8] stands in for an N-executor cluster and local[32] for 4N\n"
-            "(same input, same code path, fresh JVM each), per the driver's\n"
-            "sandbox instruction for the north_rule's two-cluster-size check.\n"
-            "Each level is CPU-affinity-bound (taskset 8 vs 32 cores) so the\n"
-            "N-level cannot borrow extra cores for its python workers — the\n"
+            "accurate fused hybrid join (the flagship ACCURATE path) at 100M\n"
+            "points. local[8] stands in for an N-executor cluster and local[32]\n"
+            "for 4N (same input, same code path, fresh JVM each), per the\n"
+            "driver's sandbox instruction for the north_rule's two-cluster-size\n"
+            "check. Each level is CPU-affinity-bound (taskset 8 vs 32 cores) so\n"
+            "the N-level cannot borrow extra cores for its python workers — the\n"
             "faithful model of fixed-size executors.\n\n"
+            "## Scaling efficiency (T8/T32)/4 — sound rounds only, capped at 1.0\n\n"
+            "Rounds with efficiency > 1.05 are noise artifacts (external load\n"
+            "hit the 8-core level) and are EXCLUDED; values are capped at 1.0\n"
+            "before ranking so noise can never inflate the headline. Median is\n"
+            "across all sound adjacent-A/B rounds in history.\n\n"
+            "| path | best sound | median sound | sound rounds (n) | target |\n"
+            "|---|---|---|---|---|\n"
+            f"| raster (pure JVM) | {rs['best']} | {rs['median']} | {rs['n_sound']} | >= 0.8 |\n"
+            f"| hybrid (accurate, Arrow) | {hs['best']} | {hs['median']} | {hs['n_sound']} | >= 0.8 |\n\n"
+            f"This run:\n\n"
             f"| parallelism | raster wall sec (best A/B round) | raster docs/sec | hybrid wall sec | hybrid docs/sec |\n|---|---|---|---|---|\n"
             f"| local[8] (N) | {t8} | {results[0]['docs_per_sec']} | {results[0]['hybrid_sec']} | {results[0]['hybrid_docs_per_sec']} |\n"
             f"| local[32] (4N) | {t32} | {results[1]['docs_per_sec']} | {results[1]['hybrid_sec']} | {results[1]['hybrid_docs_per_sec']} |\n\n"
-            f"- **HEADLINE: best sound scaling efficiency (T8/T32)/4 = "
-            f"{report['best_observed']['scaling_efficiency']}** (target >= 0.8; "
-            f"T8={report['best_observed']['t_local8_sec']}s, "
-            f"T32={report['best_observed']['t_local32_sec']}s, "
-            f"docs={report['best_observed']['docs']})\n"
-            f"- raster docs: {results[0]['docs']}; hybrid docs: {results[0]['hybrid_docs']} (sf={report['sf']})\n"
-            f"- this run's efficiency: {report['scaling_efficiency']}"
-            f" (rounds > 1.05 are noise artifacts, see NOTE); hybrid rounds: {report['round_efficiencies_hybrid']}\n"
-            f"- all samples local[8]: {report['runs_local8']}\n"
-            f"- all samples local[32]: {report['runs_local32']}\n"
-            f"- per-round efficiencies (adjacent A/B pairs): {report['round_efficiencies']}\n"
-            f"- best observed across history: efficiency "
+            f"- best sound raster round across history: efficiency "
             f"{report['best_observed']['scaling_efficiency']} "
             f"(T8={report['best_observed']['t_local8_sec']}s, "
             f"T32={report['best_observed']['t_local32_sec']}s, "
             f"docs={report['best_observed']['docs']})\n"
+            f"- raster docs: {results[0]['docs']}; hybrid docs: {results[0]['hybrid_docs']} (sf={report['sf']})\n"
+            f"- this run's raster efficiency: {report['scaling_efficiency']}; "
+            f"hybrid rounds this run: {report['round_efficiencies_hybrid']}\n"
+            f"- all samples local[8]: {report['runs_local8']}\n"
+            f"- all samples local[32]: {report['runs_local32']}\n"
+            f"- per-round raster efficiencies (adjacent A/B pairs): {report['round_efficiencies']}\n"
             f"- NOTE: the sandbox host carries unpredictable external load\n"
             f"  (load avg >18 with zero sandbox processes observed); each round\n"
             f"  runs local[8] and local[32] back-to-back so both see similar\n"
             f"  noise, rounds wait for a quiet host (loadavg gate), and the best\n"
-            f"  round is reported — the spirit of the reference's\n"
-            f"  min-over-iterations policy (GLHandler.cpp:214-248).\n\n"
+            f"  SOUND round is reported next to the median — the spirit of the\n"
+            f"  reference's min-over-iterations policy (GLHandler.cpp:214-248)\n"
+            f"  without best-case cherry-picking.\n\n"
             f"{_kernel_scaling_md()}"
+            f"{_hybrid_rootcause_md()}"
             f"## vs reference single-node CPU baseline\n\n"
             f"The reference's accurate CPU join runs at ~2.5M pts/s/core\n"
             f"(134,292 ms for 335M pts single-core, taxi-in-memory.txt:19).\n"

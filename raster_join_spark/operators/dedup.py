@@ -3,27 +3,70 @@
 - exact_dedup:        hash-groupBy on md5(text) — pure JVM
 - word_jaccard_pairs: exact n-gram (word) Jaccard similarity pairs via
                       explode + self-join — pure JVM, no UDF; the
-                      shuffle is on token (frequent-token skew handled by
-                      dropping ubiquitous tokens, cf. stopword pruning)
-- minhash_lsh_pairs:  MinHash + banded LSH candidate pairs (Arrow
-                      pandas-UDF signatures, deterministic seeded hash
-                      family) with optional exact-Jaccard verification
-- simhash:            64-bit SimHash fingerprint per document
+                      shuffle is on token; ubiquitous tokens (document
+                      frequency > df_cap) are dropped via a broadcast
+                      anti-join BEFORE the self-join, so a stopword-grade
+                      token can never make the join quadratic
+- minhash_signatures / minhash_lsh_pairs: MinHash + banded LSH candidate
+                      pairs — 100% JVM column expressions (explode
+                      shingles -> md5-derived 31-bit hash -> 64 min
+                      aggregates with map-side combine); the hash family
+                      (a*h+b mod 2^31-1) is seeded and engine-portable,
+                      so a DuckDB oracle reproduces every pair exactly
+- simhash:            64-bit SimHash fingerprint — 100% JVM (explode
+                      words -> 64 bit-vote sums -> repack), with SQL twin
+- winnow_fingerprints: MOSS winnowing over character k-grams (Arrow
+                      kernel; md5-derived gram hash shared with the SQL
+                      twin's lag/lead formulation)
+
+Every operator here has a generated-SQL twin (same md5-derived hashes,
+same integer arithmetic) used by the driver's DuckDB correctness gate.
 
 Scale notes: exact/jaccard shuffle volumes are O(tokens); minhash
-signatures are fixed k ints/doc so the LSH exchange is O(docs*bands) —
-the standard trade at 10^12 docs. Band buckets are the join key; hot
-buckets (boilerplate dups) are capped with a per-bucket limit to bound
-the candidate blow-up, mirroring salting practice.
+signatures are k mins/doc so the LSH exchange is O(docs*bands) — the
+standard trade at 10^12 docs. Band buckets are the join key; hot buckets
+(boilerplate dups) are capped with a per-bucket limit to bound the
+candidate blow-up, mirroring salting practice.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# 31-bit Mersenne prime: (a*h + b) stays under 2^62, so the permutation
+# arithmetic is overflow-free in 64-bit integers on BOTH engines (Spark
+# ANSI mode and DuckDB abort on 64-bit overflow — no silent wraparound
+# to hide behind).
+_P31 = 2147483647
+
+# ---------------------------------------------------- engine-portable hash
+#
+# h60(s) = first 15 hex digits of md5(s) as a 60-bit non-negative int.
+# Spark (conv) and DuckDB (hex-literal cast) produce the identical value
+# for identical UTF-8 input — verified bit-for-bit in tests; this is what
+# makes minhash/simhash/winnowing oracle-checkable.
+
+
+def h60_col(c: Column) -> Column:
+    """md5-derived 60-bit hash as a pure-JVM column expression."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB twin of h60_col."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def h60_py(s: str) -> int:
+    """Driver/kernel twin of h60_col (hashlib is C-speed md5)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
 
 # ------------------------------------------------------------- exact dedup
 
@@ -48,13 +91,23 @@ def exact_dedup_sql() -> str:
 # ----------------------------------------------------- exact word jaccard
 
 
-def word_jaccard_pairs(docs: DataFrame, min_inter_x5_ge_union: bool = True) -> DataFrame:
+def word_jaccard_pairs(
+    docs: DataFrame,
+    min_inter_x5_ge_union: bool = True,
+    df_cap: int = 10_000,
+) -> DataFrame:
     """Exact word-set Jaccard pairs: J(a,b) >= 0.2, emitted as integer
     (intersection, union) counts so the threshold test `5*inter >= union`
     stays in integer arithmetic (bit-parity with the SQL oracle).
 
-    Plan: explode distinct tokens -> self-join on token (shuffle on token)
-    -> pair intersection counts -> join per-doc cardinalities.
+    Plan: explode distinct tokens -> drop ubiquitous tokens (document
+    frequency > ``df_cap``; the dropped set is tiny — stopword-grade — so
+    it broadcasts as a LEFT ANTI join) -> self-join on token (shuffle on
+    token) -> pair intersection counts -> join per-doc cardinalities.
+    The cap bounds the self-join's per-token fan-out at df_cap^2, which
+    is what keeps web-scale boilerplate tokens from going quadratic;
+    cardinalities are computed AFTER the drop, so the Jaccard is exact
+    over the reduced token space on both engines.
     """
     toks = docs.select(
         "doc_id",
@@ -62,6 +115,14 @@ def word_jaccard_pairs(docs: DataFrame, min_inter_x5_ge_union: bool = True) -> D
             F.array_distinct(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
         ).alias("tok"),
     )
+    if df_cap is not None:
+        ubiquitous = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("tok")
+        )
+        toks = toks.join(F.broadcast(ubiquitous), "tok", "left_anti")
     card = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -87,12 +148,14 @@ def word_jaccard_pairs(docs: DataFrame, min_inter_x5_ge_union: bool = True) -> D
     return out
 
 
-def word_jaccard_sql() -> str:
-    return """
-WITH toks AS (
+def word_jaccard_sql(df_cap: int = 10_000) -> str:
+    return f"""
+WITH toks0 AS (
   SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
   FROM documents
 ),
+ubiq AS (SELECT tok FROM toks0 GROUP BY tok HAVING count(*) > {df_cap}),
+toks AS (SELECT t.doc_id, t.tok FROM toks0 t LEFT JOIN ubiq u ON t.tok = u.tok WHERE u.tok IS NULL),
 card AS (SELECT doc_id, count(*) AS card FROM toks GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -110,27 +173,68 @@ WHERE i.inter * 5 >= ca.card + cb.card - i.inter
 
 # ------------------------------------------------------------ minhash LSH
 
-_MERSENNE = (1 << 61) - 1
-
-
-def _token_hash(tokens: np.ndarray) -> np.ndarray:
-    """Deterministic 64-bit polynomial hash over codepoints (no platform
-    hash()); vectorized per token via numpy object loop-free trick is not
-    possible for ragged strings, so we hash via pandas -> bytes -> FNV."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = np.uint64(1469598103934665603)
-        for ch in t.encode("utf-8"):
-            h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
-        out[i] = h
-    return out
-
 
 def _minhash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    a = rng.randint(1, _P31, size=k).astype(np.int64)
+    b = rng.randint(0, _P31, size=k).astype(np.int64)
     return a, b
+
+
+def _shingle_col(text_col: Column, w: int) -> Column:
+    """w-word shingles as an array column (pure JVM): split -> drop empty
+    tokens -> sliding concat. Docs shorter than w yield a single shingle
+    (the whole doc), empty docs yield ['']."""
+    words = F.filter(F.split(text_col, " "), lambda t: t != "")
+    return (
+        F.when(
+            F.size(words) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - w + 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i, w)),
+            ),
+        )
+        .otherwise(
+            F.when(F.size(words) > 0, F.array(F.concat_ws(" ", words))).otherwise(
+                F.array(F.lit(""))
+            )
+        )
+    )
+
+
+def _shingle_sql(w: int, words_expr: str = "words") -> str:
+    """DuckDB twin of _shingle_col (operates on a `words` list column)."""
+    return (
+        f"CASE WHEN len({words_expr}) >= {w} THEN "
+        f"list_transform(range(1, len({words_expr}) - {w} + 2), "
+        f"i -> array_to_string(list_slice({words_expr}, i, i + {w - 1}), ' ')) "
+        f"WHEN len({words_expr}) > 0 THEN [array_to_string({words_expr}, ' ')] "
+        f"ELSE [''] END"
+    )
+
+
+def _minhash_min_cols(
+    docs: DataFrame,
+    k: int,
+    shingle_w: int,
+    seed: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, m0..m{k-1}): per-doc minimum of each seeded permutation
+    (a_i*h + b_i) mod P over md5-derived 31-bit shingle hashes. One
+    explode + one groupBy with map-side combine — the exchange carries
+    <= one row per doc per task. No Python anywhere."""
+    a, b = _minhash_params(k, seed)
+    sh = docs.select(
+        id_col, F.explode(_shingle_col(F.col(text_col), shingle_w)).alias("shingle")
+    )
+    h = sh.select(id_col, (h60_col(F.col("shingle")) % _P31).alias("h"))
+    mins = [
+        F.min((F.lit(int(a[i])) * F.col("h") + F.lit(int(b[i]))) % _P31).alias(f"m{i}")
+        for i in range(k)
+    ]
+    return h.groupBy(id_col).agg(*mins)
 
 
 def minhash_signatures(
@@ -141,39 +245,11 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signatures over w-word shingles. Arrow-batched; the hash
-    family (a*x+b mod 2^61-1) is seeded and platform-independent."""
-    a_params, b_params = _minhash_params(k, seed)
-
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType(), False),
-            T.StructField("sig", T.ArrayType(T.LongType()), False),
-        ]
+    """MinHash signatures over w-word shingles as (id, sig array<long>)."""
+    mins = _minhash_min_cols(docs, k, shingle_w, seed, text_col, id_col)
+    return mins.select(
+        id_col, F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
     )
-
-    def fn(batches):
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy()
-            sigs = []
-            for text in pdf[text_col]:
-                words = [w for w in text.split(" ") if w]
-                if len(words) >= shingle_w:
-                    shingles = [
-                        " ".join(words[i : i + shingle_w])
-                        for i in range(len(words) - shingle_w + 1)
-                    ]
-                else:
-                    shingles = [" ".join(words)] if words else [""]
-                hv = _token_hash(np.array(shingles, dtype=object))
-                # k permutations: min((a*h + b) mod p)
-                vals = (
-                    a_params[None, :] * (hv[:, None] % _MERSENNE) + b_params[None, :]
-                ) % _MERSENNE
-                sigs.append(vals.min(axis=0).astype(np.int64))
-            yield pd.DataFrame({id_col: ids, "sig": sigs})
-
-    return docs.select(id_col, text_col).mapInPandas(fn, schema)
 
 
 def minhash_lsh_pairs(
@@ -183,42 +259,102 @@ def minhash_lsh_pairs(
     shingle_w: int = 3,
     seed: int = 42,
     max_bucket: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Banded LSH candidate pairs (doc_a < doc_b, deduped across bands).
 
-    rows-per-band signature slices hash to buckets; equal buckets in a
-    band -> candidate pair. ``max_bucket`` caps degenerate buckets
-    (boilerplate text at web scale) before the quadratic pair expansion.
+    Signature slices of r = k/bands values are the bucket key (joining on
+    the raw slice is exactly band-hash equality, minus the hash);
+    ``max_bucket`` caps degenerate buckets (boilerplate text at web
+    scale) before the quadratic pair expansion.
     """
     assert k % bands == 0
     r = k // bands
-    sigs = minhash_signatures(docs, k=k, shingle_w=shingle_w, seed=seed)
-    band_cols = []
-    for b_i in range(bands):
-        sl = F.slice(F.col("sig"), b_i * r + 1, r)
-        band_cols.append(
-            F.struct(F.lit(b_i).alias("band"), F.xxhash64(sl).alias("bucket"))
+    sigs = _minhash_min_cols(docs, k, shingle_w, seed, text_col, id_col)
+    structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            *[F.col(f"m{bi * r + j}").alias(f"k{j}") for j in range(r)],
         )
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+        for bi in range(bands)
+    ]
+    buckets = sigs.select(id_col, F.explode(F.array(*structs)).alias("bb")).select(
+        id_col, "bb.*"
+    )
+    keycols = ["band"] + [f"k{j}" for j in range(r)]
+    w = Window.partitionBy(*keycols).orderBy(id_col)
     buckets = buckets.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= max_bucket
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for kc in keycols:
+        cond = cond & (F.col(f"a.{kc}") == F.col(f"b.{kc}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return pairs
+
+
+def _minhash_sig_cte(k: int, bands: int, shingle_w: int, seed: int) -> str:
+    a, b = _minhash_params(k, seed)
+    mins = ",\n    ".join(
+        f"min(({int(a[i])} * h + {int(b[i])}) % {_P31}) AS m{i}" for i in range(k)
+    )
+    return f"""
+docs_w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS words
+  FROM documents
+),
+sh AS (SELECT doc_id, unnest({_shingle_sql(shingle_w)}) AS shingle FROM docs_w),
+hv AS (SELECT doc_id, {h60_sql('shingle')} % {_P31} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM hv GROUP BY 1
+)"""
+
+
+def minhash_lsh_pairs_sql(
+    k: int = 64,
+    bands: int = 16,
+    shingle_w: int = 3,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB twin of minhash_lsh_pairs — identical hash family, banding,
+    bucket cap and pair emission."""
+    assert k % bands == 0
+    r = k // bands
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, {cols} FROM sig".format(
+            b=bi,
+            cols=", ".join(f"m{bi * r + j} AS k{j}" for j in range(r)),
+        )
+        for bi in range(bands)
+    )
+    keys = ", ".join(["band"] + [f"k{j}" for j in range(r)])
+    join_keys = " AND ".join(
+        [f"a.{c} = b.{c}" for c in ["band"] + [f"k{j}" for j in range(r)]]
+    )
+    return f"""
+WITH {_minhash_sig_cte(k, bands, shingle_w, seed)},
+bands_t AS ({band_selects}),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, {keys},
+           row_number() OVER (PARTITION BY {keys} ORDER BY doc_id) AS rn
+    FROM bands_t
+  ) WHERE rn <= {max_bucket}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM capped a JOIN capped b ON {join_keys} AND a.doc_id < b.doc_id
+"""
 
 
 def minhash_dedup(docs: DataFrame, **kw) -> DataFrame:
@@ -240,15 +376,14 @@ def winnow_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Document fingerprinting via rolling hash + winnowing (MOSS scheme):
-    Rabin-Karp rolling hash over character k-grams, then keep the minimum
-    hash of every `window` consecutive hashes (rightmost-min rule).
+    """Document fingerprinting via winnowing (MOSS scheme): hash every
+    character k-gram (md5-derived 60-bit hash, shared with the SQL twin),
+    then keep the LEFTMOST minimum of every `window` consecutive hashes.
     Output: one row per selected fingerprint (doc_id, pos, fp) — join on
     fp to find copied passages across documents. Arrow-batched; the
-    rolling update is O(1) per character, vectorized with cumulative
-    products... here computed with a numpy sliding window (exact)."""
-    B = np.uint64(1000003)
-    MASK = np.uint64((1 << 61) - 1)
+    selection is a vectorized numpy sliding-window argmin. No shuffle:
+    every doc winnows locally inside its input partition."""
+    import hashlib
 
     schema = T.StructType(
         [
@@ -262,17 +397,19 @@ def winnow_fingerprints(
         for pdf in batches:
             ids, poss, fps = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-                n = len(b)
+                n = len(text)
                 if n < k:
                     continue
-                # k-gram hashes: polynomial in base B (uint64 wraparound
-                # + 61-bit mask; any deterministic hash works) — k tiny,
-                # so k vectorized ops over all grams at once
-                h = b[: n - k + 1].copy()
-                for j in range(1, k):
-                    h = (h * B + b[j : n - k + 1 + j]) & MASK
-                # winnow: min of each `window` consecutive hashes
+                ng = n - k + 1
+                h = np.fromiter(
+                    (
+                        int(hashlib.md5(text[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
+                        for i in range(ng)
+                    ),
+                    dtype=np.int64,
+                    count=ng,
+                )
+                # winnow: leftmost min of each `window` consecutive hashes
                 if len(h) < window:
                     sel = np.array([int(np.argmin(h))])
                 else:
@@ -280,7 +417,7 @@ def winnow_fingerprints(
                     sel = np.unique(sw.argmin(axis=1) + np.arange(len(sw)))
                 ids.extend([did] * len(sel))
                 poss.extend(sel.tolist())
-                fps.extend(h[sel].astype(np.int64).tolist())
+                fps.extend(h[sel].tolist())
             yield pd.DataFrame(
                 {id_col: np.asarray(ids, np.int64),
                  "pos": np.asarray(poss, np.int32),
@@ -290,32 +427,136 @@ def winnow_fingerprints(
     return docs.select(id_col, text_col).mapInPandas(fn, schema)
 
 
+def winnow_fingerprints_sql(k: int = 5, window: int = 4) -> str:
+    """DuckDB twin of winnow_fingerprints.
+
+    A gram position p is selected iff it is the leftmost argmin of SOME
+    length-`window` gram window: there exists a start offset j in
+    [0, window-1] with all j preceding hashes strictly greater and all
+    window-1-j following hashes greater-or-equal (window fully inside
+    the doc). Expressed with lag/lead since `window` is a small constant.
+    Docs with fewer than `window` grams keep their single leftmost
+    global argmin (ORDER BY fp, pos tiebreak).
+    """
+    w = window
+    lags = ",\n    ".join(
+        f"lag(fp, {j}) OVER win AS lg{j}" for j in range(1, w)
+    )
+    leads = ",\n    ".join(
+        f"lead(fp, {j}) OVER win AS ld{j}" for j in range(1, w)
+    )
+    clauses = []
+    for j in range(w):
+        conds = []
+        for q in range(1, j + 1):
+            conds.append(f"lg{q} IS NOT NULL AND lg{q} > fp")
+        for q in range(1, w - j):
+            conds.append(f"ld{q} IS NOT NULL AND ld{q} >= fp")
+        clauses.append("(" + " AND ".join(conds) + ")" if conds else "TRUE")
+    selected = "\n     OR ".join(clauses)
+    return f"""
+WITH grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         {h60_sql(f"substr(text, i, {k})")} AS fp
+  FROM (
+    SELECT doc_id, text, unnest(range(1, len(text) - {k} + 2)) AS i
+    FROM documents WHERE len(text) >= {k}
+  )
+),
+wf AS (
+  SELECT doc_id, pos, fp,
+    count(*) OVER (PARTITION BY doc_id) AS n,
+    row_number() OVER (PARTITION BY doc_id ORDER BY fp, pos) AS rnk,
+    {lags},
+    {leads}
+  FROM grams
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id, CAST(pos AS INTEGER) AS pos, fp FROM wf
+WHERE CASE WHEN n < {w} THEN rnk = 1 ELSE (
+     {selected}
+) END
+"""
+
+
 # ---------------------------------------------------------------- simhash
+
+# 64 fingerprint bits: bits 0..59 from h60, bits 60..63 from the 16th
+# md5 hex digit — a fixed, engine-portable mapping.
+_SIMHASH_BITS = 64
+
+
+def _nib16_col(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c.cast("binary")), 16, 1), 16, 10).cast("long")
+
+
+def _nib16_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 16, 1)) AS BIGINT)"
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word hashes (Arrow-batched, deterministic)."""
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType(), False),
-            T.StructField("simhash", T.LongType(), False),
-        ]
+    """64-bit SimHash over word hashes — 100% JVM column expressions:
+    explode words, one ±1 vote sum per bit (map-side combined groupBy),
+    repack the sign vector into a two's-complement int64. Empty docs
+    fingerprint to 0. Engine-portable: simhash_sql reproduces it bit-
+    for-bit on DuckDB."""
+    toks = docs.select(
+        id_col,
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    th = toks.select(
+        id_col, h60_col(F.col("tok")).alias("h60"), _nib16_col(F.col("tok")).alias("nib")
     )
 
-    def fn(batches):
-        bit_w = (1 << np.arange(64, dtype=np.uint64)).astype(np.uint64)
-        for pdf in batches:
-            out = np.empty(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf[text_col]):
-                words = [w for w in text.split(" ") if w]
-                if not words:
-                    out[i] = 0
-                    continue
-                hv = _token_hash(np.array(words, dtype=object))
-                bits = (hv[:, None] & bit_w[None, :]) != 0
-                score = bits.sum(axis=0) * 2 - len(hv)
-                v = int(bit_w[score > 0].sum(dtype=np.uint64))  # exact: disjoint bits
-                out[i] = v - (1 << 64) if v >= (1 << 63) else v  # two's complement
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": out})
+    def bit(b: int) -> Column:
+        if b < 60:
+            return F.shiftright(F.col("h60"), b).bitwiseAND(F.lit(1))
+        return F.shiftright(F.col("nib"), b - 60).bitwiseAND(F.lit(1))
 
-    return docs.select(id_col, text_col).mapInPandas(fn, schema)
+    sums = th.groupBy(id_col).agg(
+        *[F.sum(bit(b) * 2 - 1).alias(f"s{b}") for b in range(_SIMHASH_BITS)]
+    )
+    fp: Column = F.when(F.col("s63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    for b in range(63):
+        fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    out = sums.select(id_col, fp.alias("simhash"))
+    return (
+        docs.select(id_col)
+        .join(out, id_col, "left")
+        .select(id_col, F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash"))
+    )
+
+
+def simhash_sql() -> str:
+    """DuckDB twin of simhash (identical bit mapping and vote rule)."""
+    votes = ",\n    ".join(
+        (
+            f"sum(CASE WHEN ((h60 >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+            if b < 60
+            else f"sum(CASE WHEN ((nib >> {b - 60}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        )
+        for b in range(_SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        [f"CASE WHEN s63 > 0 THEN {-(1 << 63)} ELSE 0 END"]
+        + [f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(63)]
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, {h60_sql('tok')} AS h60, {_nib16_sql('tok')} AS nib FROM toks
+),
+sums AS (
+  SELECT doc_id,
+    {votes}
+  FROM th GROUP BY 1
+),
+fp AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM sums)
+SELECT d.doc_id, coalesce(f.simhash, 0) AS simhash
+FROM (SELECT doc_id FROM documents) d LEFT JOIN fp f ON f.doc_id = d.doc_id
+"""

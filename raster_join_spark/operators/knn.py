@@ -11,11 +11,13 @@ Spark plan per round r:
      query point (tiny literal table, broadcast)
   2. broadcast hash join against the points on cell_id — the big side
      never shuffles
-  3. per-query candidate count + k-th distance checked on the driver
-     (a k-row collect); round terminates when kth_dist <= (r * cell_min)^2
-     — any point in an unvisited cell is at least r*cell_min away, so the
-     top-k is certified exact.
-  4. final exact top-k by window rank over the certified candidate set.
+  3. the per-query top-k candidate rows (<= |pending| x k, tiny) are
+     collected ONCE per round; certification happens driver-side:
+     a query is done when kth_dist <= (r * cell_min)^2 — any point in an
+     unvisited cell is at least r*cell_min away, so its top-k is exact.
+  4. certified rows accumulate on the driver; the final result is a
+     literal DataFrame (inherently q x k rows — never big), so no plan
+     is ever re-executed after its round ran.
 
 Distances are squared Euclidean with the same op order as the SQL oracle:
 (x-qx)*(x-qx) + (y-qy)*(y-qy) — exact integers in microdegree space.
@@ -74,7 +76,8 @@ def knn_join(
 
         r = r_init
         next_step = 1
-        result: DataFrame | None = None
+        final_rows: list[tuple] = []
+        id_type = pts.schema[id_col].dataType
         while pending and r <= max_radius:
             # disk of cells within Chebyshev radius r for each pending query
             rows = []
@@ -116,24 +119,24 @@ def knn_join(
                 .filter(F.col("rank") <= k)
                 .select("q_id", id_col, "rank", "dist2")
             )
-            # certification: kth distance must be <= (r*cell_min)^2, else
-            # an unvisited cell could still hold a closer point
-            status = (
-                topk.groupBy("q_id")
-                .agg(F.count(F.lit(1)).alias("n"), F.max("dist2").alias("kth"))
-                .collect()
-            )
-            certified = {
-                row["q_id"]
-                for row in status
-                if row["n"] >= k and row["kth"] <= (r * cell_min) ** 2
-            }
-            if r >= max_radius:
-                certified = set(pending)  # grid exhausted: all candidates seen
-            if certified:
-                done = topk.filter(F.col("q_id").isin([int(c) for c in certified]))
-                result = done if result is None else result.unionByName(done)
-                pending -= certified
+            # ONE job per round: the top-k rows themselves (<= pending*k,
+            # tiny) come back; certification and accumulation are
+            # driver-side, so nothing is ever re-executed
+            by_q: dict[int, list] = {}
+            for row in topk.collect():
+                by_q.setdefault(row["q_id"], []).append(row)
+            exhausted = r >= max_radius  # grid exhausted: all cells seen
+            for q in list(pending):
+                rs = by_q.get(q, [])
+                kth = max((row["dist2"] for row in rs), default=None)
+                if exhausted or (
+                    len(rs) >= k and kth is not None and kth <= (r * cell_min) ** 2
+                ):
+                    final_rows.extend(
+                        (row["q_id"], row[id_col], row["rank"], row["dist2"])
+                        for row in rs
+                    )
+                    pending.discard(q)
             # exponential ring growth: sparse regions certify in O(log r)
             # driver rounds instead of O(r); clamp the final step to
             # max_radius so the exhaustive certify-all round always runs
@@ -142,8 +145,16 @@ def knn_join(
             else:
                 r += next_step
             next_step = min(next_step * 2, max(grid.nx, grid.ny) // 4 + 1)
-        assert result is not None, "no kNN results produced"
-        return result
+        assert final_rows, "no kNN results produced"
+        out_schema = T.StructType(
+            [
+                T.StructField("q_id", T.LongType(), False),
+                T.StructField(id_col, id_type, False),
+                T.StructField("rank", T.IntegerType(), False),
+                T.StructField("dist2", T.DoubleType(), False),
+            ]
+        )
+        return spark.createDataFrame(final_rows, out_schema)
     finally:
         pts.unpersist()
 

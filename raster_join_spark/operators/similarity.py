@@ -16,10 +16,8 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def dot_expr(col: str, q: np.ndarray) -> Column:
@@ -175,20 +173,20 @@ def _kmeans_np(
 
 def ivf_assign_col(vec_col: str, centroids: np.ndarray) -> Column:
     """Nearest-centroid id as a column expression: argmin over unrolled
-    squared distances — JVM-only, usable as a partition key at scale."""
-    best_id: Column = F.lit(0)
-    best_d: Column | None = None
-    for cid, c in enumerate(centroids):
-        # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; rank-equivalent: -2 v.c + ||c||^2
-        d = F.lit(float((c * c).sum())) + F.lit(-2.0) * dot_expr(vec_col, c)
-        if best_d is None:
-            best_d = d
-            best_id = F.lit(cid)
-        else:
-            cond = d < best_d
-            best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return best_id.cast("long")
+    squared distances — JVM-only, usable as a partition key at scale.
+
+    Formulated as array_position(d_array, array_min(d_array)) rather
+    than a chained CASE fold: the fold duplicates the running best into
+    every branch (O(3^n_lists) expression nodes — janino chokes past ~8
+    lists), while the array form is linear in n_lists x dim. First-
+    occurrence semantics on ties match a strict-< sequential fold."""
+    ds = [
+        # ||v - c||^2 rank-equivalent: ||c||^2 - 2 v.c
+        F.lit(float((c * c).sum())) + F.lit(-2.0) * dot_expr(vec_col, c)
+        for c in centroids
+    ]
+    arr = F.array(*ds)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("long")
 
 
 def ivf_topk(
@@ -237,6 +235,128 @@ def ivf_topk(
     )
 
 
+def _self_dot_expr(vec_col: str, dim: int) -> Column:
+    """Unrolled ||v||^2 left-fold (same IEEE sequence as the SQL twin)."""
+    acc: Column | None = None
+    for i in range(dim):
+        t = F.col(vec_col)[i].cast("double") * F.col(vec_col)[i].cast("double")
+        acc = t if acc is None else acc + t
+    assert acc is not None
+    return acc
+
+
+def _self_dot_sql(vec_col: str, dim: int) -> str:
+    terms = [
+        f"CAST({vec_col}[{i + 1}] AS DOUBLE) * CAST({vec_col}[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def _pair_dot_sql(a_col: str, b_col: str, dim: int) -> str:
+    terms = [
+        f"CAST({a_col}[{i + 1}] AS DOUBLE) * CAST({b_col}[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def lsh_bucket_sql(vec_col: str, planes: np.ndarray) -> str:
+    """DuckDB twin of lsh_bucket_col (identical projection folds)."""
+    terms = [
+        f"CASE WHEN ({dot_sql(vec_col, plane)}) >= 0 THEN {1 << bit} ELSE 0 END"
+        for bit, plane in enumerate(planes)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return f"CAST({out} AS BIGINT)"
+
+
+def ivf_topk_sql(
+    query: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 5,
+    sf_dir: str | None = None,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ivf_topk: the k-means quantizer is a DRIVER-side
+    constant (trained on the deterministic orderBy(id).limit(n) sample),
+    so the centroid assignment argmin + probe filter + exact re-rank are
+    all expressible as generated SQL — the same trick as geo/pip.pip_sql.
+    Trains the identical centroids here by reading the same sample with
+    DuckDB (bit-identical numpy path), then unrolls:
+      d_i  = ||c_i||^2 - 2 v.c_i          (rank-equivalent distance)
+      bid  = sequential strict-< fold over d_0..d_{n-1}  (= ivf_assign_col)
+    """
+    import os
+
+    import duckdb
+
+    sf = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT {vec_col} FROM '{sf}/{table}.parquet' "
+        f"ORDER BY {id_col} LIMIT {train_sample}"
+    ).fetchall()
+    con.close()
+    sample = np.stack([np.asarray(r[0]) for r in rows]).astype(np.float64)
+    cent = _kmeans_np(sample, k=n_lists, seed=seed)
+    q = np.asarray(query, dtype=np.float64)
+    qd = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probes = ", ".join(str(int(i)) for i in np.argsort(qd)[:n_probe])
+
+    d_defs = ",\n    ".join(
+        f"({float((c * c).sum())!r} + -2.0 * ({dot_sql(vec_col, c)})) AS d{cid}"
+        for cid, c in enumerate(cent)
+    )
+    ctes = [f"d0_t AS (\n  SELECT {id_col}, d0 AS bd, 0 AS bid"
+            + "".join(f", d{j}" for j in range(1, n_lists))
+            + "\n  FROM dists\n)"]
+    for step in range(1, n_lists):
+        carry = "".join(f", d{j}" for j in range(step + 1, n_lists))
+        ctes.append(
+            f"d{step}_t AS (\n"
+            f"  SELECT {id_col},\n"
+            f"    CASE WHEN d{step} < bd THEN d{step} ELSE bd END AS bd,\n"
+            f"    CASE WHEN d{step} < bd THEN {step} ELSE bid END AS bid"
+            f"{carry}\n  FROM d{step - 1}_t\n)"
+        )
+    fold = ",\n".join(ctes)
+    score = dot_sql(f"e.{vec_col}", q)
+    return f"""
+WITH dists AS (
+  SELECT {id_col},
+    {d_defs}
+  FROM {table}
+),
+{fold},
+cand AS (SELECT {id_col} FROM d{n_lists - 1}_t WHERE bid IN ({probes})),
+scored AS (
+  SELECT e.{id_col} AS {id_col}, {score} AS score
+  FROM {table} e JOIN cand c ON c.{id_col} = e.{id_col}
+),
+ranked AS (
+  SELECT {id_col}, row_number() OVER (ORDER BY score DESC, {id_col}) AS rnk
+  FROM scored
+)
+SELECT {id_col}, CAST(rnk AS BIGINT) AS rank FROM ranked WHERE rnk <= {k}
+"""
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     n_planes: int = 12,
@@ -245,38 +365,90 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_bucket: int = 2000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH-bucket blocking then
-    exact cosine inside buckets via an Arrow pandas UDF (vectorized
-    matmul per bucket group). Returns (id_a, id_b, cos)."""
+    """Embedding-cosine near-duplicate pairs: LSH-bucket blocking, hot
+    buckets capped at ``max_bucket`` rows (a degenerate boilerplate
+    bucket can otherwise go O(n^2) — same guard as minhash_lsh_pairs),
+    then an exact cosine filter on a bucket-equijoin — 100% JVM unrolled
+    expressions, reproduced bit-for-bit by embedding_neardup_sql.
+    Returns (id_a, id_b, cos_u6) with the cosine quantized to
+    micro-units (the repo's float-fold quantization rule)."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    bucketed = emb.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket_col(vec_col, planes).alias("bucket")
-    )
-
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType(), False),
-            T.StructField("id_b", T.LongType(), False),
-            T.StructField("cos", T.DoubleType(), False),
-        ]
-    )
     thresh = min_cos_x100 / 100.0
+    nrm_raw = F.sqrt(_self_dot_expr(vec_col, dim))
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_col(vec_col, planes).alias("bucket"),
+        F.when(nrm_raw == 0.0, F.lit(1.0)).otherwise(nrm_raw).alias("nrm"),
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    capped = base.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_bucket
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    dot: Column | None = None
+    for i in range(dim):
+        t = (
+            F.col(f"a.{vec_col}")[i].cast("double")
+            * F.col(f"b.{vec_col}")[i].cast("double")
+        )
+        dot = t if dot is None else dot + t
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(thresh))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.col("cos") * F.lit(1_000_000.0)).cast("long").alias("cos_u6"),
+        )
+    )
 
-    def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy(np.int64)
-        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        norms = np.sqrt((M * M).sum(axis=1))
-        norms[norms == 0] = 1.0
-        Mn = M / norms[:, None]
-        S = Mn @ Mn.T
-        ia, ib = np.nonzero(np.triu(S >= thresh, k=1))
-        # canonical id order
-        lo = np.minimum(ids[ia], ids[ib])
-        hi = np.maximum(ids[ia], ids[ib])
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": S[ia, ib]})
 
-    pairs = bucketed.groupBy("bucket").applyInPandas(per_bucket, out_schema)
-    return pairs.dropDuplicates(["id_a", "id_b"])
+def embedding_neardup_sql(
+    n_planes: int = 12,
+    seed: int = 11,
+    min_cos_x100: int = 95,
+    dim: int = 64,
+    max_bucket: int = 2000,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of embedding_neardup_pairs."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = lsh_bucket_sql(vec_col, planes)
+    sd = _self_dot_sql(vec_col, dim)
+    dot = _pair_dot_sql(f"a.{vec_col}", f"b.{vec_col}", dim)
+    thresh = min_cos_x100 / 100.0
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {vec_col}, {bucket} AS bucket,
+         CASE WHEN sqrt({sd}) = 0 THEN 1.0 ELSE sqrt({sd}) END AS nrm
+  FROM {table}
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY {id_col}) AS rn
+    FROM base
+  ) WHERE rn <= {max_bucket}
+)
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       CAST(floor((({dot}) / (a.nrm * b.nrm)) * 1000000.0) AS BIGINT) AS cos_u6
+FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+WHERE ({dot}) / (a.nrm * b.nrm) >= {thresh!r}
+"""

@@ -129,6 +129,37 @@ FROM raster r LEFT JOIN acc a ON a.poly_id = r.poly_id
 """
 
 
+def mercator_assign_sql() -> str:
+    """Web-Mercator ingest transform (S2's real math: Utils.h:9-18 +
+    UsefulFuncs.cpp:578-597) as generated SQL.
+
+    The ONE oracle that uses transcendentals (sin/ln): JVM Math and
+    DuckDB libm may differ in the last float64 ulp, but the reference
+    narrows stored coordinates to float32 (TaxiRecord.hpp:121-133) and
+    both engines' float64 results round to the SAME float32 — verified
+    bit-for-bit on the gate dataset (a flip needs a value within ~2^-29
+    of a rounding boundary). atanh(z) is expanded to 0.5*ln((1+z)/(1-z))
+    in the identical op order as geo/mercator.geo2world_cols."""
+    import math
+
+    from raster_join_spark.geo.mercator import US_BOUNDS, _SCALE, world_center
+
+    cx, cy = world_center(US_BOUNDS)
+    b = US_BOUNDS
+    pi = repr(math.pi)
+    s = f"sin(lat * {math.pi / 180.0!r})"
+    return f"""
+WITH {POINTS_CTE},
+g AS (SELECT url, y / 1000000.0 AS lat, x / 1000000.0 AS lon FROM points)
+SELECT url,
+  CAST((lon + 180.0) / 360.0 * {256.0 * _SCALE!r} - {cx!r} AS REAL) AS wx,
+  CAST(({pi} - 0.5 * ln((1.0 + {s}) / (1.0 - {s}))) / {pi} * {128.0 * _SCALE!r} - {cy!r} AS REAL) AS wy
+FROM g
+WHERE lat >= {b.minlat!r} AND lat <= {b.maxlat!r}
+  AND lon >= {b.minlon!r} AND lon <= {b.maxlon!r}
+"""
+
+
 def tile_assign_sql(grid: GridSpec = COARSE_GRID) -> str:
     cell_sql = grid.cell_id_sql("x", "y")
     return f"WITH {POINTS_CTE} SELECT url, {cell_sql} AS cell_id FROM points"

@@ -108,35 +108,39 @@ def streaming_polygon_counts(
     sj: SpatialJoin,
     checkpoint_dir: str,
     sink_table: str = "poly_counts_stream",
+    sink_dir: str | None = None,
 ):
     """Continuous per-polygon counts: each micro-batch runs the fused
-    hybrid join (exact) and MERGES into an in-memory accumulator view.
+    hybrid join (exact) and writes its PARTIAL per-polygon counts to a
+    durable directory keyed by batch_id; the sink view sums over batch
+    partials at read time.
 
-    foreachBatch gives exactly-once upserts: the streaming checkpoint
-    replays a failed batch with the same batch_id, and the merge is
-    idempotent per batch (overwrite-by-batch semantics)."""
-    spark = sj.spark
-    acc_name = f"_acc_{sink_table}"
-    spark.sql(
-        f"CREATE OR REPLACE TEMPORARY VIEW {acc_name}_empty AS "
-        "SELECT CAST(0 AS LONG) AS poly_id, CAST(0 AS LONG) AS agg WHERE 1=0"
-    )
-    state = {"acc": None}
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        part = sj.hybrid_join(batch_df, include_zero=False)
-        pdf = part.toPandas()
-        prev = state["acc"]
-        if prev is None:
-            state["acc"] = pdf.set_index("poly_id")["agg"]
-        else:
-            state["acc"] = prev.add(pdf.set_index("poly_id")["agg"], fill_value=0)
-        out = state["acc"].reset_index()
-        out.columns = ["poly_id", "agg"]
-        spark.createDataFrame(out).createOrReplaceTempView(sink_table)
-
+    This is genuinely exactly-once: a replayed micro-batch (same
+    batch_id, from the streaming checkpoint) OVERWRITES its own partial
+    directory instead of double-counting, and a restart resumes from the
+    partials already on disk — the same additive-partials recipe as
+    plans/checkpoint.py. The sink stays O(polygons x batches) and
+    compactable (sum-rewrite) out of band."""
+    sink_dir = sink_dir or f"{checkpoint_dir.rstrip('/')}_sink"
     return (
-        stream.writeStream.foreachBatch(process_batch)
+        stream.writeStream.foreachBatch(polygon_batch_writer(sj, sink_dir, sink_table))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def polygon_batch_writer(sj: SpatialJoin, sink_dir: str, sink_table: str):
+    """The foreachBatch body of streaming_polygon_counts, exposed so the
+    replay-idempotence property is directly testable: calling it twice
+    with the same batch_id overwrites the same partial directory."""
+    spark = sj.spark
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = sj.hybrid_join(batch_df, include_zero=False)
+        # overwrite-by-batch_id: replays land in the same path
+        part.write.mode("overwrite").parquet(f"{sink_dir}/batch={batch_id}")
+        spark.read.parquet(sink_dir).groupBy("poly_id").agg(
+            F.sum("agg").alias("agg")
+        ).createOrReplaceTempView(sink_table)
+
+    return process_batch

@@ -64,6 +64,60 @@ def test_word_jaccard_pairs(spark, docs, docs_pdf):
     assert (1, 82) in pairs
 
 
+def test_word_jaccard_df_cap_drops_ubiquitous_tokens(spark, docs_pdf):
+    """A token present in (almost) every doc must be excluded from the
+    self-join when df_cap is exceeded — the quadratic-blowup guard."""
+    n = 30
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            # 'the' is ubiquitous; w{i} is unique per doc except docs 0/1 share w0
+            "text": ["the w0" if i < 2 else f"the w{i}" for i in range(n)],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = D.word_jaccard_pairs(docs, min_inter_x5_ge_union=False, df_cap=10).toPandas()
+    pairs = set(zip(got.doc_a, got.doc_b))
+    # without the cap every pair would co-occur via 'the' (C(30,2)=435 pairs);
+    # with it only the w0-sharing pair survives
+    assert pairs == {(0, 1)}
+    # cardinalities count only kept tokens
+    row = got.iloc[0]
+    assert row["inter"] == 1 and row["uni"] == 1
+    exp = _duck(pdf, D.word_jaccard_sql(df_cap=10))
+    assert set(zip(exp.doc_a, exp.doc_b)) == {(0, 1)}
+
+
+def test_minhash_lsh_sql_parity(spark, docs, docs_pdf):
+    """DuckDB twin reproduces the exact candidate pair set."""
+    got = (
+        D.minhash_lsh_pairs(docs, k=64, bands=16, shingle_w=2)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    exp = _duck(docs_pdf, D.minhash_lsh_pairs_sql(k=64, bands=16, shingle_w=2))
+    exp = exp.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_simhash_sql_parity(spark, docs, docs_pdf):
+    got = D.simhash(docs).toPandas().sort_values("doc_id", ignore_index=True)
+    exp = _duck(docs_pdf, D.simhash_sql()).sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_winnow_sql_parity(spark, docs, docs_pdf):
+    got = (
+        D.winnow_fingerprints(docs, k=5, window=4)
+        .toPandas()
+        .sort_values(["doc_id", "pos"], ignore_index=True)
+    )
+    exp = _duck(docs_pdf, D.winnow_fingerprints_sql(k=5, window=4)).sort_values(
+        ["doc_id", "pos"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     pairs = D.minhash_lsh_pairs(docs, k=64, bands=16, shingle_w=2).toPandas()
     got = set(zip(pairs.doc_a, pairs.doc_b))

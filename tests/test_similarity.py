@@ -89,9 +89,49 @@ def test_embedding_neardup_pairs(spark, emb):
     ).toPandas()
     got = set(zip(pairs.id_a, pairs.id_b))
     assert (0, 250) in got and (1, 251) in got
-    assert (pairs.cos >= 0.99).all()
+    assert (pairs.cos_u6 >= 990000).all()
     # no self pairs, canonical order
     assert (pairs.id_a < pairs.id_b).all()
+
+
+def test_embedding_neardup_sql_parity(spark, emb, emb_pdf):
+    """The generated-SQL twin reproduces the Spark pairs bit-for-bit."""
+    import duckdb
+
+    got = (
+        S.embedding_neardup_pairs(emb, n_planes=6, seed=11, min_cos_x100=95, dim=16)
+        .toPandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("embeddings", emb_pdf)
+    exp = (
+        con.sql(S.embedding_neardup_sql(n_planes=6, seed=11, min_cos_x100=95, dim=16))
+        .df()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(got) > 0
+
+
+def test_embedding_neardup_hot_bucket_cap(spark):
+    """A degenerate bucket (identical boilerplate embeddings) must be
+    bounded by max_bucket: pairs <= C(max_bucket, 2), not C(n, 2)."""
+    n = 60
+    rows = [(i, [1.0] * 8 + [0.0] * 8) for i in range(n)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+    pairs = S.embedding_neardup_pairs(
+        emb, n_planes=4, min_cos_x100=99, dim=16, max_bucket=10
+    ).toPandas()
+    assert len(pairs) == 10 * 9 // 2  # capped, not 60*59/2
+    # the kept rows are the lowest ids (deterministic row_number order)
+    assert set(pairs.id_a) | set(pairs.id_b) == set(range(10))
 
 
 def test_ivf_topk_recall(spark, emb, emb_pdf):

@@ -77,6 +77,21 @@ def test_streaming_polygon_counts_match_batch(spark, points_dir, pts_schema, tmp
     assert got.sort_index().astype(int).equals(exp.sort_index().astype(int))
 
 
+def test_streaming_polygon_counts_replay_idempotent(spark, sf_dir, tmp_path):
+    """A replayed micro-batch (same batch_id) must NOT double-count:
+    the partial overwrites its own batch directory."""
+    from raster_join_spark.streaming.windowed import polygon_batch_writer
+
+    sj = SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
+    batch = points_df(spark, sf_dir)
+    writer = polygon_batch_writer(sj, str(tmp_path / "sink"), "poly_replay")
+    writer(batch, 0)
+    once = spark.sql("SELECT * FROM poly_replay").toPandas().set_index("poly_id")["agg"]
+    writer(batch, 0)  # replay of the SAME batch id
+    twice = spark.sql("SELECT * FROM poly_replay").toPandas().set_index("poly_id")["agg"]
+    assert once.sort_index().equals(twice.sort_index())
+
+
 def test_streaming_first_seen_dedup(spark, tmp_path):
     """applyInPandasWithState first-seen dedup: duplicates within and
     across micro-batches are dropped; state persists between batches."""
