@@ -95,7 +95,10 @@ def _flagship_once(master: str, sf_dir: str) -> dict:
     from raster_join_spark.fixtures import ORACLE_POLYS, COARSE_GRID
     from raster_join_spark.operators.spatial_join import SpatialJoin
 
-    n_hybrid = int(os.environ.get("SPARK_GRAFT_SCALE_N", "100000000"))
+    # 400M: with the maxBytesPerBatch fix the hybrid path runs ~20M+
+    # rows/s/8-cores, so 100M finished in ~2s at local[32] — fixed job
+    # costs (~1.3s scheduler/warm floor) drowned the efficiency signal
+    n_hybrid = int(os.environ.get("SPARK_GRAFT_SCALE_N", "400000000"))
     n_raster = int(os.environ.get("SPARK_GRAFT_SCALE_N_RASTER", "4000000000"))
     spark = get_spark(app_name="rjs-scaling", master=master)
     # warm-up: JIT + python workers + broadcast path at small N

@@ -43,6 +43,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # CRITICAL for the python (mapInPandas) stages: Spark 4.1's
+        # Arrow-input batching loop calls ArrowWriter.sizeInBytes() PER
+        # ROW to enforce maxBytesPerBatch (default 64m), and that walks
+        # the whole Arrow vector tree (StructVector.setValueCount +
+        # getBufferSizeFor) — measured ~1.9us/row, 25 of 32 cores burned
+        # in the feed path (JFR: 6124/6309 exec samples in sizeInBytes).
+        # Int.MaxValue is the explicit sentinel that SKIPS the check
+        # (BatchedPythonArrowInput.underBatchSizeLimit). Batch size is
+        # then bounded by maxRecordsPerBatch above (65536 rows ~ 1-2 MB
+        # for numeric kernels); media stages derate their own row counts
+        # by payload budget (operators/multimodal.py), so no batch can
+        # still blow past executor memory.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "2147483647b")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
