@@ -58,14 +58,16 @@ def knn_join(
     pts = pts.persist()
     try:
         # density-based initial radius: size the first probe disk to hold
-        # ~4k expected candidates so dense queries certify in one round
-        # (each driver round is a scheduling barrier — minimize rounds)
+        # ~64k expected candidates so queries certify in one or two
+        # rounds — candidate rows are O(100s) while every driver round
+        # costs a full scheduling barrier (~0.3-0.5 s), so over-probing
+        # is strictly cheaper than an extra round
         n_total = pts.count()
         density = n_total / max(grid.n_cells, 1)
         if density > 0:
             import math as _math
 
-            r_init = max(0, int(_math.ceil(_math.sqrt((4.0 * k) / density) / 2.0)) - 1)
+            r_init = max(0, int(_math.ceil(_math.sqrt((64.0 * k) / density) / 2.0)) - 1)
         else:
             r_init = 0
         r_init = min(r_init, max(grid.nx, grid.ny) // 4)
@@ -137,14 +139,15 @@ def knn_join(
                         for row in rs
                     )
                     pending.discard(q)
-            # exponential ring growth: sparse regions certify in O(log r)
+            # exponential ring growth (4x: rounds are the expensive unit,
+            # candidates are cheap): sparse regions certify in O(log r)
             # driver rounds instead of O(r); clamp the final step to
             # max_radius so the exhaustive certify-all round always runs
             if r < max_radius and r + next_step > max_radius:
                 r = max_radius
             else:
-                r += next_step
-            next_step = min(next_step * 2, max(grid.nx, grid.ny) // 4 + 1)
+                r += max(next_step, r)  # at least double the radius
+            next_step = min(next_step * 4, max(grid.nx, grid.ny) // 4 + 1)
         assert final_rows, "no kNN results produced"
         out_schema = T.StructType(
             [

@@ -10,9 +10,14 @@ deterministic FakeCodec.
 
 Scale notes: binary payloads dominate row size, so the media stages
 (1) prune every non-payload column before the python exchange,
-(2) cap Arrow batch BYTES (not rows) via a row-count recomputed from the
-    declared max payload size,
-(3) repartition by size so one task never holds > a few hundred MB.
+(2) bound PEAK DECODE MEMORY inside the worker by processing each Arrow
+    batch in payload-byte-budgeted chunks (``max_payload_mb``) and
+    yielding one output frame per chunk — decoded rasters are the
+    dominant memory term, often 10-100x the encoded payload,
+(3) leave the Arrow INPUT batch row count to the session
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``); for blob tables
+    size it as budget_bytes / max_blob_bytes when creating the session
+    (the engine's 65536 default assumes ~KB-scale payloads).
 """
 
 from __future__ import annotations
@@ -78,6 +83,23 @@ def attach_media_meta(df: DataFrame, payload_col: str = "html", codec: Codec | N
     return df.withColumn("media_meta", _meta(F.col(payload_col)))
 
 
+def _payload_chunks(pdf: pd.DataFrame, payload_col: str, budget_bytes: int):
+    """Split one Arrow batch into chunks whose summed payload bytes stay
+    under the budget (>=1 row per chunk) — bounds peak decode memory in
+    the worker regardless of blob sizes."""
+    sizes = pdf[payload_col].map(len).to_numpy()
+    start = 0
+    acc = 0
+    for i, s in enumerate(sizes):
+        if i > start and acc + int(s) > budget_bytes:
+            yield pdf.iloc[start:i]
+            start = i
+            acc = 0
+        acc += int(s)
+    if start < len(pdf):
+        yield pdf.iloc[start:]
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "html",
@@ -88,11 +110,13 @@ def extract_features(
 ) -> DataFrame:
     """Decode + pooled feature vector per media row via mapInPandas.
 
-    Only (id, payload) cross the Arrow boundary; the Arrow batch row
-    count is derated by the declared payload budget so a batch stays
-    under ~64 MB regardless of blob sizes.
+    Only (id, payload) cross the Arrow boundary; inside the worker each
+    Arrow batch is processed in chunks whose summed payload bytes stay
+    under ``max_payload_mb`` (one output frame per chunk), so decoded-
+    raster memory is bounded even when blob sizes vary wildly.
     """
     codec = codec or FakeCodec()
+    budget = max_payload_mb * 1024 * 1024
     schema = T.StructType(
         [
             T.StructField(id_col, T.StringType(), False),
@@ -102,20 +126,21 @@ def extract_features(
 
     def fn(batches):
         for pdf in batches:
-            ids = []
-            feats = []
-            for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = codec.decode(bytes(payload))
-                # pooled row-means resampled to n_features — a stand-in
-                # for a real embedding; deterministic
-                pooled = np.interp(
-                    np.linspace(0, 1, n_features),
-                    np.linspace(0, 1, img.shape[0]),
-                    img.mean(axis=1),
-                )
-                ids.append(i)
-                feats.append(pooled.astype(np.float64))
-            yield pd.DataFrame({id_col: ids, "features": feats})
+            for chunk in _payload_chunks(pdf, payload_col, budget):
+                ids = []
+                feats = []
+                for i, payload in zip(chunk[id_col], chunk[payload_col]):
+                    img = codec.decode(bytes(payload))
+                    # pooled row-means resampled to n_features — a stand-in
+                    # for a real embedding; deterministic
+                    pooled = np.interp(
+                        np.linspace(0, 1, n_features),
+                        np.linspace(0, 1, img.shape[0]),
+                        img.mean(axis=1),
+                    )
+                    ids.append(i)
+                    feats.append(pooled.astype(np.float64))
+                yield pd.DataFrame({id_col: ids, "features": feats})
 
     pruned = df.select(id_col, payload_col)
     return pruned.mapInPandas(fn, schema)

@@ -62,3 +62,23 @@ def test_resize_media(spark, media_df):
     assert len(out) == 50
     assert (out.thumb_w == 8).all() and (out.thumb_h == 8).all()
     assert all(len(t) == 64 for t in out.thumb)
+
+
+def test_payload_chunks_budget():
+    """Chunking bounds summed payload bytes per chunk (>=1 row each)."""
+    import pandas as pd
+
+    from raster_join_spark.operators.multimodal import _payload_chunks
+
+    pdf = pd.DataFrame(
+        {"url": [f"u{i}" for i in range(6)],
+         "html": [b"x" * n for n in (100, 100, 300, 50, 500, 10)]}
+    )
+    chunks = list(_payload_chunks(pdf, "html", budget_bytes=300))
+    # every chunk within budget unless it is a single oversized row
+    for c in chunks:
+        total = int(c["html"].map(len).sum())
+        assert total <= 300 or len(c) == 1
+    # nothing lost, order preserved
+    assert [u for c in chunks for u in c["url"]] == [f"u{i}" for i in range(6)]
+    assert len(chunks) >= 3

@@ -70,6 +70,36 @@ def test_fused_hybrid_minimal_exchanges(spark, sf_dir, sj):
     assert n_shuffles <= 1, plan
 
 
+def test_simhash_and_minhash_are_pure_jvm(spark):
+    """The md5-derived hash family keeps minhash/simhash entirely inside
+    whole-stage codegen — no Python operator may appear in their plans."""
+    import pandas as pd
+
+    from raster_join_spark.operators.dedup import minhash_lsh_pairs, simhash
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d", "b c d e"]})
+    )
+    for df in (simhash(docs), minhash_lsh_pairs(docs, k=8, bands=2, shingle_w=2)):
+        plan = plan_of(df)
+        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_neardup_pairs_pure_jvm(spark):
+    import pandas as pd
+
+    from raster_join_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [0, 1], "embedding": [[1.0, 0.0], [0.0, 1.0]]}
+        )
+    )
+    plan = plan_of(embedding_neardup_pairs(emb, n_planes=2, dim=2))
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
 def test_no_row_at_a_time_python_udfs_in_codebase():
     """input_hint: vectorized pandas/Arrow UDFs only. Guard the codebase
     against accidental row-at-a-time F.udf usage."""
