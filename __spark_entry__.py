@@ -106,6 +106,19 @@ def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: the reference's spatio-temporal hash partitioner
+    (prime-hash cell bucket x 10-day tbucket) as native expressions —
+    the tile store's partition spec (sources/tiles.py)."""
+    from raster_join_spark.fixtures import COARSE_GRID
+    from raster_join_spark.sources.tiles import TileStore
+
+    store = TileStore(base_dir="/unused", grid=COARSE_GRID)
+    pts = _points(spark, sf_dir)
+    bucket, tb = store.partition_cols(F.col("x"), F.col("y"), F.col("warc_ts"))
+    return pts.select("url", bucket, tb)
+
+
 def _q_point_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raster_join_spark.fixtures import COARSE_GRID
 
@@ -347,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_error_bounds": _q_error_bounds,
         "tile_assign": _q_tile_assign,
         "mercator_assign": _q_mercator,
+        "tile_partition": _q_tile_partition,
         "point_poly_assign": _q_point_poly,
         "coarse_scan": _q_coarse_scan,
         "fullscan_filter": _q_fullscan,
@@ -388,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_error_bounds": oracles.error_bounds_sql(),
         "tile_assign": oracles.tile_assign_sql(),
         "mercator_assign": oracles.mercator_assign_sql(),
+        "tile_partition": oracles.tile_partition_sql(),
         "point_poly_assign": oracles.point_poly_sql(),
         "coarse_scan": oracles.coarse_scan_sql(COARSE_GRID, BOX),
         "fullscan_filter": oracles.fullscan_sql(BOX, T0, T1),

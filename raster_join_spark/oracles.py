@@ -129,6 +129,24 @@ FROM raster r LEFT JOIN acc a ON a.poly_id = r.poly_id
 """
 
 
+def tile_partition_sql(grid: GridSpec = COARSE_GRID, n_buckets: int = 64) -> str:
+    """S3 spatio-temporal hash partitioner (HashGridIndex.cpp:96-111
+    primes + 10-day tbuckets, BackendIndex/main.cpp:64-65) as generated
+    SQL. pmod is mirrored as ((v % n) + n) % n so out-of-grid negative
+    cells agree between engines."""
+    from raster_join_spark.sources.tiles import P1, P2, TBUCKET_SECONDS
+
+    xp = f"CAST(floor((x - {grid.x0!r}) / {grid.cell_w!r}) AS BIGINT)"
+    yp = f"CAST(floor((y - {grid.y0!r}) / {grid.cell_h!r}) AS BIGINT)"
+    h = f"xor({xp} * {P1}, {yp} * {P2})"
+    bucket = f"((({h}) % {n_buckets}) + {n_buckets}) % {n_buckets}"
+    tb = f"CAST(floor(epoch(warc_ts) / {float(TBUCKET_SECONDS)!r}) AS BIGINT)"
+    return (
+        f"WITH {POINTS_CTE} SELECT url, {bucket} AS cell_bucket, {tb} AS tbucket "
+        f"FROM points"
+    )
+
+
 def mercator_assign_sql() -> str:
     """Web-Mercator ingest transform (S2's real math: Utils.h:9-18 +
     UsefulFuncs.cpp:578-597) as generated SQL.
