@@ -42,10 +42,17 @@ def knn_join(
     y: str = "y",
     id_col: str = "event_id",
     max_radius: int | None = None,
+    n_total: int | None = None,
 ) -> DataFrame:
     """Exact k nearest points per query point. Returns
     (q_id, {id_col}, rank, dist2) with rank 1..k ordered by
     (dist2, id) — the id tiebreak keeps results deterministic.
+
+    ``n_total`` (optional row-count hint) sizes the initial probe disk
+    from point density; without it a fixed heuristic radius is used —
+    certification never depends on the starting radius, only round
+    count does, and skipping the count job + eager cache saves two
+    scheduling barriers in the common certify-in-one-round case.
     """
     if max_radius is None:
         max_radius = max(grid.nx, grid.ny)
@@ -54,22 +61,20 @@ def knn_join(
     pts = points.withColumn("cell_id", grid.cell_id_col(F.col(x), F.col(y))).filter(
         F.col("cell_id").isNotNull()
     )
-    # cache: probed once per expansion round
-    pts = pts.persist()
+    cached = False
     try:
-        # density-based initial radius: size the first probe disk to hold
-        # ~64k expected candidates so queries certify in one or two
-        # rounds — candidate rows are O(100s) while every driver round
-        # costs a full scheduling barrier (~0.3-0.5 s), so over-probing
-        # is strictly cheaper than an extra round
-        n_total = pts.count()
-        density = n_total / max(grid.n_cells, 1)
-        if density > 0:
+        # initial radius: size the first probe disk for ~64k expected
+        # candidates when density is known — candidate rows are O(100s)
+        # while every driver round costs a full scheduling barrier
+        # (~0.3-0.5 s), so over-probing is strictly cheaper than an
+        # extra round
+        if n_total is not None and n_total > 0:
             import math as _math
 
+            density = n_total / max(grid.n_cells, 1)
             r_init = max(0, int(_math.ceil(_math.sqrt((64.0 * k) / density) / 2.0)) - 1)
         else:
-            r_init = 0
+            r_init = 4
         r_init = min(r_init, max(grid.nx, grid.ny) // 4)
         qxp = {q: int((qx - grid.x0) // grid.cell_w) for q, qx, _ in queries}
         qyp = {q: int((qy - grid.y0) // grid.cell_h) for q, _, qy in queries}
@@ -78,15 +83,26 @@ def knn_join(
 
         r = r_init
         next_step = 1
+        rounds = 0
         final_rows: list[tuple] = []
         id_type = pts.schema[id_col].dataType
         while pending and r <= max_radius:
-            # disk of cells within Chebyshev radius r for each pending query
+            rounds += 1
+            if rounds == 2 and not cached:
+                # first round didn't certify everything: later rounds
+                # re-probe the same points, so cache them now (lazily —
+                # the certify-in-one-round case never pays for it)
+                pts = pts.persist()
+                cached = True
+            # disk of cells within Chebyshev radius r for each pending
+            # query, with the query coords inlined — ONE broadcast join
+            # resolves both the probe and the distance inputs
             rows = []
             for q in pending:
+                qx_, qy_ = qpos[q]
                 for rr in range(r + 1):
                     for c in grid.ring_cells(qxp[q], qyp[q], rr):
-                        rows.append((q, c))
+                        rows.append((q, c, qx_, qy_))
             if not rows:
                 r += 1
                 continue
@@ -96,21 +112,12 @@ def knn_join(
                     [
                         T.StructField("q_id", T.LongType(), False),
                         T.StructField("cell_id", T.LongType(), False),
-                    ]
-                ),
-            )
-            cand = pts.join(F.broadcast(cand_cells), "cell_id", "inner")
-            qlit = spark.createDataFrame(
-                [(q, qpos[q][0], qpos[q][1]) for q in pending],
-                T.StructType(
-                    [
-                        T.StructField("q_id", T.LongType(), False),
                         T.StructField("qx", T.DoubleType(), False),
                         T.StructField("qy", T.DoubleType(), False),
                     ]
                 ),
             )
-            cand = cand.join(F.broadcast(qlit), "q_id", "inner").withColumn(
+            cand = pts.join(F.broadcast(cand_cells), "cell_id", "inner").withColumn(
                 "dist2",
                 (F.col(x) - F.col("qx")) * (F.col(x) - F.col("qx"))
                 + (F.col(y) - F.col("qy")) * (F.col(y) - F.col("qy")),
@@ -159,7 +166,8 @@ def knn_join(
         )
         return spark.createDataFrame(final_rows, out_schema)
     finally:
-        pts.unpersist()
+        if cached:
+            pts.unpersist()
 
 
 def radius_query(
