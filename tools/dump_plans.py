@@ -62,6 +62,25 @@ def main() -> None:
             ),
         ),
     ]
+
+    from raster_join_spark.operators.dedup import minhash_lsh_pairs, simhash
+
+    docs_df = spark.read.parquet(f"{sf}/documents.parquet")
+    sections += [
+        (
+            "SimHash (pure JVM)",
+            "Explode words -> md5-derived bit votes -> ONE map-side-combined "
+            "hash aggregate (64 sums) -> repack. No Python operator; the "
+            "exchange carries <= one row per doc per task.",
+            plan_of(simhash(docs_df)),
+        ),
+        (
+            "MinHash banded LSH pairs (pure JVM)",
+            "Explode shingles -> 64 min-aggregates (map-side combined) -> "
+            "band slices as join keys -> capped self-join. No Python operator.",
+            plan_of(minhash_lsh_pairs(docs_df, k=64, bands=16, shingle_w=3)),
+        ),
+    ]
     out = [
         "# Physical plans (captured from .explain('formatted'))",
         "",
