@@ -418,6 +418,7 @@ class SpatialJoin:
         agg: AggSpec = AggSpec(),
         include_zero: bool = True,
         fused: bool = True,
+        coord_transfer: str | None = None,
     ) -> DataFrame:
         """J3 accurate: interior fast path + boundary exact refinement.
         Result is identical to index_join; only the physical plan differs
@@ -438,11 +439,15 @@ class SpatialJoin:
                 self._exact_pairs(points, jvm_pip=True), agg, include_zero
             )
         if fused and agg.op in ("count", "sum", "avg"):
-            return self._fused_agg(points, agg, include_zero)
+            return self._fused_agg(points, agg, include_zero, coord_transfer)
         return self._finalize(self._exact_pairs(points), agg, include_zero)
 
     def _fused_agg(
-        self, points: DataFrame, agg: AggSpec, include_zero: bool
+        self,
+        points: DataFrame,
+        agg: AggSpec,
+        include_zero: bool,
+        coord_transfer: str | None = None,
     ) -> DataFrame:
         """One-pass exact aggregation — the plan we'd run at 100 TB.
 
@@ -453,6 +458,14 @@ class SpatialJoin:
         O(points) pair rows — the reference's per-thread partial vectors
         (CPUJoin/CPUJoin.cpp:93-116) in Spark clothes. No JVM-side pair
         materialization, half the Arrow traffic of the join plan.
+
+        ``coord_transfer`` ("int" | "float" | None): the Arrow feed is
+        the bandwidth-dominant term at full machine width, so a caller
+        who KNOWS the coordinates are losslessly representable in a
+        narrower type (e.g. integer microdegrees, the engine's canonical
+        coordinate space, fit int32 exactly) can halve the transfer
+        bytes; the kernel always widens back to float64, so results are
+        bit-identical. Default None transfers the column's own type.
         """
         t = self.tables
         int_c, int_p = t.interior_pairs()
@@ -535,7 +548,14 @@ class SpatialJoin:
         # unless the input is already coarser. On a real cluster this is
         # executors*cores; tasks then stream many Arrow batches each.
         target = max(self.spark.sparkContext.defaultParallelism, 1)
-        src = points.select(*cols)
+        if coord_transfer:
+            src = points.select(
+                F.col(x_name).cast(coord_transfer).alias(x_name),
+                F.col(y_name).cast(coord_transfer).alias(y_name),
+                *cols[2:],
+            )
+        else:
+            src = points.select(*cols)
         if src.rdd.getNumPartitions() > 2 * target:
             src = src.coalesce(2 * target)
         partials = src.mapInPandas(fn, schema)
