@@ -502,13 +502,40 @@ class SpatialJoin:
             ]
         )
 
+        # mapInArrow, not mapInPandas: the kernel consumes raw numpy, so
+        # the pandas layer is a pure copy tax on the feed — Arrow float64
+        # columns view zero-copy into numpy. At full machine width the
+        # feed is the bandwidth-bound term (BENCH/hybrid_rootcause.md),
+        # so one fewer per-row copy matters.
         def fn(batches):
+            import pyarrow as pa
+
+            out_fields = [
+                pa.field("poly_id", pa.int64(), nullable=False),
+                pa.field("_cnt", pa.int64(), nullable=False),
+                pa.field("_sum", pa.int64() if integral else pa.float64()),
+            ]
+            out_schema = pa.schema(out_fields)
             art = bc.value
             verts, offsets = art["verts"], art["offsets"]
-            for pdf in batches:
-                x = pdf[x_name].to_numpy(np.float64)
-                y = pdf[y_name].to_numpy(np.float64)
-                val = pdf[agg_col].to_numpy(np.float64) if want_sum else None
+            for rb in batches:
+                names = rb.schema.names
+                x = np.asarray(
+                    rb.column(names.index(x_name)).to_numpy(zero_copy_only=False),
+                    dtype=np.float64,
+                )
+                y = np.asarray(
+                    rb.column(names.index(y_name)).to_numpy(zero_copy_only=False),
+                    dtype=np.float64,
+                )
+                val = (
+                    np.asarray(
+                        rb.column(names.index(agg_col)).to_numpy(zero_copy_only=False),
+                        np.float64,
+                    )
+                    if want_sum
+                    else None
+                )
                 cells = grid.cell_ids_np(x, y)
                 cnt = np.zeros(n_polys, np.int64)
                 sm = np.zeros(n_polys, np.float64) if want_sum else None
@@ -534,12 +561,13 @@ class SpatialJoin:
                     sm_out = sm[nz].astype(np.int64) if integral else sm[nz]
                 else:
                     sm_out = np.full(len(nz), np.nan)
-                yield pd.DataFrame(
-                    {
-                        "poly_id": nz.astype(np.int64),
-                        "_cnt": cnt[nz],
-                        "_sum": sm_out,
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(nz.astype(np.int64)),
+                        pa.array(cnt[nz]),
+                        pa.array(sm_out),
+                    ],
+                    schema=out_schema,
                 )
 
         # Python-stage task sizing: each mapInPandas task pays a fixed
@@ -558,7 +586,7 @@ class SpatialJoin:
             src = points.select(*cols)
         if src.rdd.getNumPartitions() > 2 * target:
             src = src.coalesce(2 * target)
-        partials = src.mapInPandas(fn, schema)
+        partials = src.mapInArrow(fn, schema)
         out = partials.groupBy("poly_id").agg(*agg.exprs())
         if not include_zero:
             return out

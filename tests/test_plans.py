@@ -55,12 +55,14 @@ def test_index_join_broadcasts_polygon_side(spark, sf_dir, sj):
 def test_raster_join_is_pure_jvm(spark, sf_dir, sj):
     plan = plan_of(sj.raster_join(points_df(spark, sf_dir), include_zero=False))
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInArrow" not in plan
     assert "SortMergeJoin" not in plan
 
 
 def test_fused_hybrid_minimal_exchanges(spark, sf_dir, sj):
     plan = plan_of(sj.hybrid_join(points_df(spark, sf_dir), include_zero=False))
-    assert "MapInPandas" in plan
+    # the fused kernel rides mapInArrow (no pandas copy layer)
+    assert "MapInArrow" in plan
     # partial vectors -> exactly one aggregation exchange (plus AQE reads);
     # never a point-wide shuffle
     assert "SortMergeJoin" not in plan
