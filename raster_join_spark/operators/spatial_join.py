@@ -341,9 +341,11 @@ class SpatialJoin:
         return pairs.select(*cols, "cell_id", "poly_id")
 
     def _fused_pairs(self, points: DataFrame, cols: list[str]) -> DataFrame:
-        """One mapInPandas pass: per batch, interior memberships via CSR
+        """One mapInArrow pass: per batch, interior memberships via CSR
         lookup, boundary memberships via exact PIP, emit (cols..., cell_id,
-        poly_id) pairs directly."""
+        poly_id) pairs directly. Carried columns are gathered with
+        pyarrow.compute.take, so strings and other payload never
+        materialize as Python objects."""
         t = self.tables
         int_c, int_p = t.interior_pairs()
         b_c, b_p, _, _ = t.boundary_pairs()
@@ -368,11 +370,21 @@ class SpatialJoin:
         )
 
         def fn(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
             art = bc.value
             verts, offsets = art["verts"], art["offsets"]
-            for pdf in batches:
-                x = pdf[x_name].to_numpy(np.float64)
-                y = pdf[y_name].to_numpy(np.float64)
+            for batch in batches:
+                names = batch.schema.names
+                x = np.asarray(
+                    batch.column(names.index(x_name)).to_numpy(zero_copy_only=False),
+                    np.float64,
+                )
+                y = np.asarray(
+                    batch.column(names.index(y_name)).to_numpy(zero_copy_only=False),
+                    np.float64,
+                )
                 cells = grid.cell_ids_np(x, y)
                 ri, pi = _csr_expand(art["interior"], cells)
                 rb, pb = _csr_expand(art["boundary"], cells)
@@ -381,16 +393,25 @@ class SpatialJoin:
                     rb, pb = rb[m], pb[m]
                 rows = np.concatenate([ri, rb])
                 polys = np.concatenate([pi, pb])
-                out = {c: pdf[c].to_numpy()[rows] for c in cols}
-                out["cell_id"] = cells[rows]
-                out["poly_id"] = polys
-                yield pd.DataFrame(out)
+                idx = pa.array(rows)
+                arrays = [
+                    pc.take(batch.column(names.index(c)), idx) for c in cols
+                ]
+                arrays += [pa.array(cells[rows]), pa.array(polys)]
+                out_schema = pa.schema(
+                    [batch.schema.field(names.index(c)) for c in cols]
+                    + [
+                        pa.field("cell_id", pa.int64(), nullable=False),
+                        pa.field("poly_id", pa.int64(), nullable=False),
+                    ]
+                )
+                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
         target = max(self.spark.sparkContext.defaultParallelism, 1)
         src = points.select(*cols, x_name, y_name)
         if src.rdd.getNumPartitions() > 2 * target:
             src = src.coalesce(2 * target)
-        return src.mapInPandas(fn, schema)
+        return src.mapInArrow(fn, schema)
 
     def _exact_pairs(self, points: DataFrame, jvm_pip: bool = False) -> DataFrame:
         """Hybrid-path exact (point, poly) pairs: interior cells skip PIP
