@@ -183,3 +183,32 @@ def test_token_count_bpe(spark, docs, docs_pdf):
     got = X.token_count_bpe(docs).toPandas().sort_values("doc_id", ignore_index=True)
     exp = _duck(docs_pdf, X.token_count_bpe_sql()).sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_h60_parity_across_engines(spark):
+    """The md5-derived 60-bit hash must agree bit-for-bit between the
+    Spark column expression, the DuckDB SQL twin, and the Python kernel
+    twin — including unicode and edge strings. This is the foundation
+    of every minhash/simhash/winnowing oracle."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(99)
+    alphabet = list("abc XYZ09_.:/?&=-") + ["é", "ü", "中", "🙂", "'", '"']
+    strs = ["", "a", " ", "''", 'x"y'] + [
+        "".join(rng.choice(alphabet, size=rng.randint(1, 30)).tolist())
+        for _ in range(200)
+    ]
+    pdf = pd.DataFrame({"i": range(len(strs)), "s": strs})
+    got = (
+        spark.createDataFrame(pdf)
+        .select("i", D.h60_col(F.col("s")).alias("h"))
+        .toPandas()
+        .sort_values("i", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.sql(f"SELECT i, {D.h60_sql('s')} AS h FROM t ORDER BY i").df()
+    assert got["h"].tolist() == exp["h"].tolist()
+    assert got["h"].tolist() == [D.h60_py(s) for s in strs]
