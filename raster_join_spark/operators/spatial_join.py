@@ -211,6 +211,23 @@ class SpatialJoin:
             self._PAIRS_CACHE[key] = df
         return df
 
+    _CELLS_CACHE: dict[tuple, DataFrame] = {}
+
+    def _cells_df(self, cells: np.ndarray, cache_key: str) -> DataFrame:
+        """Small broadcastable table of distinct cell ids (session-cached)."""
+        key = (id(self.spark), self.polyset.name, self.grid, cache_key)
+        hit = self._CELLS_CACHE.get(key)
+        if hit is not None:
+            return hit
+        df = self.spark.createDataFrame(
+            pd.DataFrame({"cell_id": np.unique(cells).astype(np.int64)}),
+            schema=T.StructType([T.StructField("cell_id", T.LongType(), False)]),
+        )
+        if len(self._CELLS_CACHE) > 64:
+            self._CELLS_CACHE.clear()
+        self._CELLS_CACHE[key] = df
+        return df
+
     def with_cell(self, points: DataFrame) -> DataFrame:
         """Tile assignment: attach the row-major cell id (native exprs,
         index.glsl:229-233); out-of-grid points get NULL and are dropped
@@ -446,9 +463,15 @@ class SpatialJoin:
         (PIP runs on boundary-cell points only).
 
         ``fused=True`` (default for aggregate output) runs the one-pass
-        partial-aggregation plan — the scalable path; ``fused=False``
-        keeps the pair-materializing broadcast-join plan (same rows,
-        useful for plan comparison and per-point outputs)."""
+        partial-aggregation plan; ``fused="split"`` resolves interior
+        cells ENTIRELY JVM-side and sends only boundary-cell points
+        through the Arrow kernel — the minimum-python plan, preferred at
+        full machine width / cluster scale; ``fused=False`` keeps the
+        pair-materializing broadcast-join plan (same rows, useful for
+        plan comparison and per-point outputs). All variants return
+        identical results."""
+        if fused == "split" and agg.op in ("count", "sum", "avg"):
+            return self._split_agg(points, agg, include_zero, coord_transfer)
         if fused == "jvm":
             # all-JVM exact plan: interior broadcast join + boundary
             # broadcast join filtered by the unrolled PIP expression.
@@ -462,6 +485,57 @@ class SpatialJoin:
         if fused and agg.op in ("count", "sum", "avg"):
             return self._fused_agg(points, agg, include_zero, coord_transfer)
         return self._finalize(self._exact_pairs(points), agg, include_zero)
+
+    def _split_agg(
+        self,
+        points: DataFrame,
+        agg: AggSpec,
+        include_zero: bool,
+        coord_transfer: str | None = None,
+    ) -> DataFrame:
+        """Split one-pass plan — minimum Arrow traffic for exact results.
+
+        Interior-cell contributions never touch Python: per-cell partial
+        aggregates (pure JVM, map-side combined) broadcast-join the
+        interior (cell, poly) table and re-aggregate — the raster plan's
+        machinery with EXACT semantics, because an interior cell's points
+        all belong to the polygon by construction. Only points whose
+        cell borders some polygon (a broadcast LEFT SEMI join against
+        the distinct boundary-cell table) cross the Arrow boundary for
+        the PIP kernel. At web scale boundary cells hold a small
+        fraction of points, so the python stage — the per-row-priciest
+        link (BENCH/hybrid_rootcause.md) — shrinks by that factor, and
+        the whole plan scales like the pure-JVM raster join.
+        """
+        t = self.tables
+        int_c, int_p = t.interior_pairs()
+        b_c, _, _, _ = t.boundary_pairs()
+        interior = self._pairs_df(int_c, int_p, cache_key="interior")
+        bcells = self._cells_df(b_c, cache_key="bcells")
+
+        cells_partial = self._cell_partials(points, agg)
+        jvm_part = (
+            cells_partial.join(F.broadcast(interior), "cell_id", "inner")
+            .groupBy("poly_id")
+            .agg(F.sum("_cnt").alias("_cnt"), F.sum("_sum").alias("_sum"))
+        )
+        bpts = self.with_cell(points).filter(F.col("cell_id").isNotNull()).join(
+            F.broadcast(bcells), "cell_id", "left_semi"
+        )
+        py_part = self._arrow_partials(
+            bpts, agg, use_interior=False, coord_transfer=coord_transfer
+        )
+        partials = jvm_part.unionByName(py_part)
+        out = partials.groupBy("poly_id").agg(*agg.exprs())
+        if not include_zero:
+            return out
+        all_polys = self.spark.range(self.polyset.n_polys).withColumnRenamed(
+            "id", "poly_id"
+        )
+        fill = F.lit(0) if agg.op == "count" else F.lit(None)
+        return all_polys.join(out, "poly_id", "left").select(
+            "poly_id", F.coalesce(F.col(agg.alias), fill).alias(agg.alias)
+        )
 
     def _fused_agg(
         self,
@@ -488,12 +562,38 @@ class SpatialJoin:
         bytes; the kernel always widens back to float64, so results are
         bit-identical. Default None transfers the column's own type.
         """
+        partials = self._arrow_partials(
+            points, agg, use_interior=True, coord_transfer=coord_transfer
+        )
+        n_polys = self.polyset.n_polys
+        out = partials.groupBy("poly_id").agg(*agg.exprs())
+        if not include_zero:
+            return out
+        all_polys = self.spark.range(n_polys).withColumnRenamed("id", "poly_id")
+        fill = F.lit(0) if agg.op == "count" else F.lit(None)
+        return all_polys.join(out, "poly_id", "left").select(
+            "poly_id", F.coalesce(F.col(agg.alias), fill).alias(agg.alias)
+        )
+
+    def _arrow_partials(
+        self,
+        points: DataFrame,
+        agg: AggSpec,
+        use_interior: bool,
+        coord_transfer: str | None = None,
+    ) -> DataFrame:
+        """The Arrow-batched partial-vector kernel stage: (poly_id, _cnt,
+        _sum) rows, <= n_polys per input batch. ``use_interior=False``
+        is the split plan's boundary-only variant (the caller already
+        resolved interior cells JVM-side)."""
         t = self.tables
         int_c, int_p = t.interior_pairs()
         b_c, b_p, _, _ = t.boundary_pairs()
         bc = self.spark.sparkContext.broadcast(
             {
-                "interior": _cell_csr(int_c, int_p, self.grid.n_cells),
+                "interior": _cell_csr(int_c, int_p, self.grid.n_cells)
+                if use_interior
+                else None,
                 "boundary": _cell_csr(b_c, b_p, self.grid.n_cells),
                 "verts": self.polyset.verts,
                 "offsets": self.polyset.offsets,
@@ -561,11 +661,14 @@ class SpatialJoin:
                 cnt = np.zeros(n_polys, np.int64)
                 sm = np.zeros(n_polys, np.float64) if want_sum else None
 
-                rows_i, polys_i = _csr_expand(art["interior"], cells)
-                if len(rows_i):
-                    cnt += np.bincount(polys_i, minlength=n_polys)
-                    if want_sum:
-                        sm += np.bincount(polys_i, weights=val[rows_i], minlength=n_polys)
+                if art["interior"] is not None:
+                    rows_i, polys_i = _csr_expand(art["interior"], cells)
+                    if len(rows_i):
+                        cnt += np.bincount(polys_i, minlength=n_polys)
+                        if want_sum:
+                            sm += np.bincount(
+                                polys_i, weights=val[rows_i], minlength=n_polys
+                            )
 
                 rows_b, polys_b = _csr_expand(art["boundary"], cells)
                 if len(rows_b):
@@ -607,15 +710,7 @@ class SpatialJoin:
             src = points.select(*cols)
         if src.rdd.getNumPartitions() > 2 * target:
             src = src.coalesce(2 * target)
-        partials = src.mapInArrow(fn, schema)
-        out = partials.groupBy("poly_id").agg(*agg.exprs())
-        if not include_zero:
-            return out
-        all_polys = self.spark.range(n_polys).withColumnRenamed("id", "poly_id")
-        fill = F.lit(0) if agg.op == "count" else F.lit(None)
-        return all_polys.join(out, "poly_id", "left").select(
-            "poly_id", F.coalesce(F.col(agg.alias), fill).alias(agg.alias)
-        )
+        return src.mapInArrow(fn, schema)
 
     def raster_join(
         self,

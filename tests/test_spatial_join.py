@@ -211,3 +211,16 @@ def test_jvm_pip_mode_equals_fused(spark, points_df, polyset, grid, random_point
     a = sj.hybrid_join(points_df).orderBy("poly_id").toPandas()
     b = sj.hybrid_join(points_df, fused="jvm").orderBy("poly_id").toPandas()
     assert a["agg"].tolist() == b["agg"].tolist()
+
+
+def test_split_mode_equals_fused(spark, points_df, polyset, grid):
+    """fused='split' (interior resolved JVM-side, only boundary-cell
+    points through Arrow) must match the one-pass kernel plan exactly
+    for count, sum and avg."""
+    from raster_join_spark.operators.spatial_join import AggSpec
+
+    sj = SpatialJoin(spark, polyset, grid)
+    for agg in (AggSpec(), AggSpec("sum", "val", "agg"), AggSpec("avg", "val", "agg")):
+        a = sj.hybrid_join(points_df, agg).orderBy("poly_id").toPandas()
+        b = sj.hybrid_join(points_df, agg, fused="split").orderBy("poly_id").toPandas()
+        assert a["agg"].tolist() == b["agg"].tolist(), agg.op
