@@ -25,7 +25,7 @@ Distances are squared Euclidean with the same op order as the SQL oracle:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -117,33 +117,32 @@ def knn_join(
                     ]
                 ),
             )
-            cand = pts.join(F.broadcast(cand_cells), "cell_id", "inner").withColumn(
-                "dist2",
-                (F.col(x) - F.col("qx")) * (F.col(x) - F.col("qx"))
-                + (F.col(y) - F.col("qy")) * (F.col(y) - F.col("qy")),
+            cand = pts.join(F.broadcast(cand_cells), "cell_id", "inner").select(
+                "q_id",
+                F.col(id_col),
+                (
+                    (F.col(x) - F.col("qx")) * (F.col(x) - F.col("qx"))
+                    + (F.col(y) - F.col("qy")) * (F.col(y) - F.col("qy"))
+                ).alias("dist2"),
             )
-            w = Window.partitionBy("q_id").orderBy(F.col("dist2"), F.col(id_col))
-            topk = (
-                cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("q_id", id_col, "rank", "dist2")
-            )
-            # ONE job per round: the top-k rows themselves (<= pending*k,
-            # tiny) come back; certification and accumulation are
-            # driver-side, so nothing is ever re-executed
+            # ONE job per round: candidate rows come back raw (the probe
+            # disk is density-sized to O(10k) rows per query) and the
+            # top-k rank + certification happen driver-side — no window
+            # exchange, no per-round codegen unit for ranking, and
+            # nothing is ever re-executed
             by_q: dict[int, list] = {}
-            for row in topk.collect():
+            for row in cand.collect():
                 by_q.setdefault(row["q_id"], []).append(row)
             exhausted = r >= max_radius  # grid exhausted: all cells seen
             for q in list(pending):
-                rs = by_q.get(q, [])
-                kth = max((row["dist2"] for row in rs), default=None)
+                rs = sorted(by_q.get(q, []), key=lambda t: (t["dist2"], t[id_col]))[:k]
+                kth = rs[-1]["dist2"] if rs else None
                 if exhausted or (
                     len(rs) >= k and kth is not None and kth <= (r * cell_min) ** 2
                 ):
                     final_rows.extend(
-                        (row["q_id"], row[id_col], row["rank"], row["dist2"])
-                        for row in rs
+                        (q, row[id_col], rank + 1, row["dist2"])
+                        for rank, row in enumerate(rs)
                     )
                     pending.discard(q)
             # exponential ring growth (4x: rounds are the expensive unit,
