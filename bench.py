@@ -262,13 +262,14 @@ def run_scaling(sf_dir: str) -> dict:
     with open(hist_path, "a") as f:
         f.write(json.dumps(report) + "\n")
 
-    # SOUND = efficiency <= 1.05 (super-unity means external load hit the
-    # 8-core level disproportionately — a noise artifact, never a claim);
-    # headline values are CAPPED at 1.0 so a noisy 1.04 cannot outrank an
-    # honest 0.95, and the median of sound rounds is reported alongside
-    # the best so a skeptic sees typical behavior, not a cherry-pick.
+    # SOUND = 0 < efficiency <= 1.0. Super-unity rounds mean external
+    # load hit the 8-core level disproportionately — a noise artifact,
+    # EXCLUDED from the headline entirely (not capped-and-kept: a noisy
+    # 1.02 must not present as a perfect 1.0). The median of sound
+    # rounds is reported alongside the best so a skeptic sees typical
+    # behavior, not a cherry-pick.
     def _sound(e: float | None) -> bool:
-        return e is not None and 0 < e <= 1.05
+        return e is not None and 0 < e <= 1.0
 
     hist = [json.loads(line) for line in open(hist_path)]
     raster_rounds: list[float] = []
@@ -302,6 +303,11 @@ def run_scaling(sf_dir: str) -> dict:
     }
     report["raster_rounds_stats"] = _stats(raster_rounds)
     report["hybrid_rounds_stats"] = _stats(hybrid_rounds)
+    # the engine changed across history (the round-2 Arrow feed fix,
+    # BENCH/hybrid_rootcause.md), so also report the most recent sound
+    # rounds separately — the number representative of CURRENT code
+    report["raster_recent_stats"] = _stats(raster_rounds[-15:])
+    report["hybrid_recent_stats"] = _stats(hybrid_rounds[-15:])
     rs, hs = report["raster_rounds_stats"], report["hybrid_rounds_stats"]
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "w") as f:
@@ -321,10 +327,13 @@ def run_scaling(sf_dir: str) -> dict:
             "hit the 8-core level) and are EXCLUDED; values are capped at 1.0\n"
             "before ranking so noise can never inflate the headline. Median is\n"
             "across all sound adjacent-A/B rounds in history.\n\n"
-            "| path | best sound | median sound | sound rounds (n) | target |\n"
-            "|---|---|---|---|---|\n"
-            f"| raster (pure JVM) | {rs['best']} | {rs['median']} | {rs['n_sound']} | >= 0.8 |\n"
-            f"| hybrid (accurate, Arrow) | {hs['best']} | {hs['median']} | {hs['n_sound']} | >= 0.8 |\n\n"
+            "| path | best sound | median sound | sound rounds (n) | recent-15 median | target |\n"
+            "|---|---|---|---|---|---|\n"
+            f"| raster (pure JVM) | {rs['best']} | {rs['median']} | {rs['n_sound']} | {report['raster_recent_stats']['median']} | >= 0.8 |\n"
+            f"| hybrid (accurate, Arrow) | {hs['best']} | {hs['median']} | {hs['n_sound']} | {report['hybrid_recent_stats']['median']} | >= 0.8 |\n\n"
+            "(recent-15 = the last 15 sound rounds, i.e. current code; the\n"
+            "all-history hybrid median includes 13 rounds from BEFORE the\n"
+            "round-2 Arrow feed fix, see BENCH/hybrid_rootcause.md.)\n\n"
             f"This run:\n\n"
             f"| parallelism | raster wall sec (best A/B round) | raster docs/sec | hybrid wall sec | hybrid docs/sec |\n|---|---|---|---|---|\n"
             f"| local[8] (N) | {t8} | {results[0]['docs_per_sec']} | {results[0]['hybrid_sec']} | {results[0]['hybrid_docs_per_sec']} |\n"
