@@ -324,6 +324,16 @@ def _q_emb_neardup(spark, sf_dir):
     )
 
 
+def _q_ann_lsh(spark, sf_dir):
+    """Multi-probe random-hyperplane LSH ANN — planes and probe list are
+    driver constants, so the oracle is generated SQL (like IVF)."""
+    from raster_join_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(
+        spark, _emb(spark, sf_dir), ANN_QUERY, k=ANN_K, n_planes=8, n_probes=4
+    )
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF ANN (k-means quantizer trained on a deterministic sample;
     probe-and-rerank) — the trained centroids are driver constants, so
@@ -378,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_bpe": _q_token_bpe,
         "text_winnow_fp": _q_winnow,
         "ann_cosine_topk": _q_ann_brute,
+        "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "text_simhash": _q_simhash,
@@ -424,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
             k=64, bands=16, shingle_w=3
         ),
         "text_simhash": D.simhash_sql(),
+        "ann_lsh_topk": S.lsh_topk_sql(ANN_QUERY, k=ANN_K, n_planes=8, n_probes=4),
         "ann_ivf_topk": S.ivf_topk_sql(ANN_QUERY, k=ANN_K, n_lists=8, n_probe=4),
         "emb_neardup_pairs": S.embedding_neardup_sql(
             n_planes=6, min_cos_x100=30, dim=64

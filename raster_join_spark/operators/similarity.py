@@ -125,21 +125,9 @@ def lsh_topk(
     dim = len(query)
     planes = _hyperplanes(dim, n_planes, seed)
     q = np.asarray(query, dtype=np.float64)
-    proj = planes @ q
-    qbits = (proj >= 0).astype(np.int64)
-    qbucket = int((qbits << np.arange(n_planes)).sum())
     # multi-probe order: flip subsets of planes ranked by how uncertain
     # (small |projection|) they are — single flips first, then pairs
-    conf = np.abs(proj)
-    singles = sorted(range(n_planes), key=lambda i: conf[i])
-    cands: list[tuple[float, int]] = []
-    for i in singles:
-        cands.append((conf[i], qbucket ^ (1 << i)))
-    for ai in range(n_planes):
-        for bi in range(ai + 1, n_planes):
-            cands.append((conf[ai] + conf[bi], qbucket ^ (1 << ai) ^ (1 << bi)))
-    cands.sort(key=lambda t: t[0])
-    probes = [qbucket] + [b for _, b in cands[: max(n_probes - 1, 0)]]
+    probes = _lsh_probes(q, planes, n_probes)
     bucketed = emb.withColumn("bucket", lsh_bucket_col(vec_col, planes))
     cand = bucketed.filter(F.col("bucket").isin(probes))
     scored = cand.select(F.col(id_col), dot_expr(vec_col, q).alias("score"))
@@ -150,8 +138,66 @@ def lsh_topk(
             "rank",
             F.row_number().over(Window.orderBy(F.col("score").desc(), F.col(id_col))),
         )
-        .select(id_col, "rank", "score")
+        # micro-unit quantized score: the stable cross-engine output form
+        .select(
+            id_col,
+            "rank",
+            F.floor(F.col("score") * F.lit(1_000_000.0)).cast("long").alias("score_u6"),
+        )
     )
+
+
+def _lsh_probes(query: np.ndarray, planes: np.ndarray, n_probes: int) -> list[int]:
+    """Multi-probe bucket list for a query (shared by lsh_topk + its SQL
+    twin): home bucket, then flips of the least-confident planes."""
+    n_planes = len(planes)
+    proj = planes @ np.asarray(query, dtype=np.float64)
+    qbits = (proj >= 0).astype(np.int64)
+    qbucket = int((qbits << np.arange(n_planes)).sum())
+    conf = np.abs(proj)
+    cands: list[tuple[float, int]] = []
+    for i in sorted(range(n_planes), key=lambda i: conf[i]):
+        cands.append((conf[i], qbucket ^ (1 << i)))
+    for ai in range(n_planes):
+        for bi in range(ai + 1, n_planes):
+            cands.append((conf[ai] + conf[bi], qbucket ^ (1 << ai) ^ (1 << bi)))
+    cands.sort(key=lambda t: t[0])
+    return [qbucket] + [b for _, b in cands[: max(n_probes - 1, 0)]]
+
+
+def lsh_topk_sql(
+    query: np.ndarray,
+    k: int = 10,
+    n_planes: int = 8,
+    n_probes: int = 3,
+    seed: int = 7,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of lsh_topk: hyperplanes and the multi-probe bucket
+    list are driver constants, so the probe filter + exact re-rank are
+    generated SQL (same recipe as ivf_topk_sql)."""
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes, seed)
+    probes = ", ".join(str(b) for b in _lsh_probes(query, planes, n_probes))
+    bucket = lsh_bucket_sql(vec_col, planes)
+    score = dot_sql(vec_col, np.asarray(query, dtype=np.float64))
+    return f"""
+WITH cand AS (
+  SELECT {id_col}, {score} AS score
+  FROM {table}
+  WHERE {bucket} IN ({probes})
+),
+ranked AS (
+  SELECT {id_col}, score,
+         row_number() OVER (ORDER BY score DESC, {id_col}) AS rnk
+  FROM cand
+)
+SELECT {id_col}, CAST(rnk AS BIGINT) AS rank,
+       CAST(floor(score * 1000000.0) AS BIGINT) AS score_u6
+FROM ranked WHERE rnk <= {k}
+"""
 
 
 def _kmeans_np(
