@@ -11,10 +11,13 @@ Spark plan per round r:
      query point (tiny literal table, broadcast)
   2. broadcast hash join against the points on cell_id — the big side
      never shuffles
-  3. the per-query top-k candidate rows (<= |pending| x k, tiny) are
-     collected ONCE per round; certification happens driver-side:
-     a query is done when kth_dist <= (r * cell_min)^2 — any point in an
-     unvisited cell is at least r*cell_min away, so its top-k is exact.
+  3. candidates are reduced to per-query top-k IN THE PLAN
+     (groupBy(q_id).agg(slice(array_sort(collect_list(struct(dist2, id))),
+     1, k)) — map-side combined, no window exchange), so the per-round
+     collect is exactly |pending| rows of k structs, INDEPENDENT of
+     point density; certification happens driver-side: a query is done
+     when kth_dist <= (r * cell_min)^2 — any point in an unvisited cell
+     is at least r*cell_min away, so its top-k is exact.
   4. certified rows accumulate on the driver; the final result is a
      literal DataFrame (inherently q x k rows — never big), so no plan
      is ever re-executed after its round ran.
@@ -30,6 +33,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from raster_join_spark.geo.grid import GridSpec
+
+
+def _round_topk(cand: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Reduce raw (q_id, id, dist2) candidates to per-query top-k inside
+    the plan: one row per q_id holding a k-slice of the (dist2, id)-sorted
+    struct array. collect_list partially aggregates map-side, so the
+    single hash exchange carries per-task candidate lists keyed by q_id
+    (|queries| keys), and the subsequent driver collect is O(|q| * k)
+    rows regardless of point density — the scale contract the 100x rule
+    demands (no raw-candidate collect, no window exchange)."""
+    return cand.groupBy("q_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dist2"), F.col(id_col).alias("_id")))
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
 
 
 def knn_join(
@@ -48,11 +70,12 @@ def knn_join(
     (q_id, {id_col}, rank, dist2) with rank 1..k ordered by
     (dist2, id) — the id tiebreak keeps results deterministic.
 
-    ``n_total`` (optional row-count hint) sizes the initial probe disk
-    from point density; without it a fixed heuristic radius is used —
-    certification never depends on the starting radius, only round
-    count does, and skipping the count job + eager cache saves two
-    scheduling barriers in the common certify-in-one-round case.
+    ``n_total`` (row-count hint) sizes the initial probe disk from point
+    density; when omitted it is computed with one column-pruned count
+    job — a density-blind fixed radius would make the probe-disk join
+    output grow linearly with density (pass an explicit value to skip
+    the count when the caller already knows it). Certification never
+    depends on the starting radius, only round count does.
     """
     if max_radius is None:
         max_radius = max(grid.nx, grid.ny)
@@ -64,11 +87,13 @@ def knn_join(
     cached = False
     try:
         # initial radius: size the first probe disk for ~64k expected
-        # candidates when density is known — candidate rows are O(100s)
-        # while every driver round costs a full scheduling barrier
-        # (~0.3-0.5 s), so over-probing is strictly cheaper than an
-        # extra round
-        if n_total is not None and n_total > 0:
+        # candidates — the in-plan top-k reduction bounds the collect
+        # either way, but an over-wide disk still pays join + partial
+        # aggregation over every probed point, while every extra driver
+        # round costs a full scheduling barrier (~0.3-0.5 s)
+        if n_total is None:
+            n_total = points.count()
+        if n_total > 0:
             import math as _math
 
             density = n_total / max(grid.n_cells, 1)
@@ -125,35 +150,39 @@ def knn_join(
                     + (F.col(y) - F.col("qy")) * (F.col(y) - F.col("qy"))
                 ).alias("dist2"),
             )
-            # ONE job per round: candidate rows come back raw (the probe
-            # disk is density-sized to O(10k) rows per query) and the
-            # top-k rank + certification happen driver-side — no window
-            # exchange, no per-round codegen unit for ranking, and
-            # nothing is ever re-executed
-            by_q: dict[int, list] = {}
-            for row in cand.collect():
-                by_q.setdefault(row["q_id"], []).append(row)
+            # ONE job per round: the plan reduces candidates to per-query
+            # top-k (struct-array sort + slice, map-side combined), so
+            # the collect is exactly |pending| rows of k structs each —
+            # O(|queries| * k) driver bytes at ANY point density; the
+            # certification decision stays driver-side and nothing is
+            # ever re-executed
+            by_q = {row["q_id"]: row["top"] for row in _round_topk(cand, id_col, k).collect()}
             exhausted = r >= max_radius  # grid exhausted: all cells seen
             for q in list(pending):
-                rs = sorted(by_q.get(q, []), key=lambda t: (t["dist2"], t[id_col]))[:k]
+                rs = by_q.get(q, [])
                 kth = rs[-1]["dist2"] if rs else None
                 if exhausted or (
                     len(rs) >= k and kth is not None and kth <= (r * cell_min) ** 2
                 ):
                     final_rows.extend(
-                        (q, row[id_col], rank + 1, row["dist2"])
+                        (q, row["_id"], rank + 1, row["dist2"])
                         for rank, row in enumerate(rs)
                     )
                     pending.discard(q)
             # exponential ring growth (4x: rounds are the expensive unit,
             # candidates are cheap): sparse regions certify in O(log r)
-            # driver rounds instead of O(r); clamp the final step to
-            # max_radius so the exhaustive certify-all round always runs
-            if r < max_radius and r + next_step > max_radius:
+            # driver rounds instead of O(r); compute the step FIRST and
+            # clamp on it, so the final exhaustive certify-all round at
+            # exactly max_radius always runs (a clamp on next_step alone
+            # can overshoot when r > next_step and 2r > max_radius,
+            # silently dropping uncertified queries)
+            step = max(next_step, r)  # at least double the radius
+            if r < max_radius and r + step > max_radius:
                 r = max_radius
             else:
-                r += max(next_step, r)  # at least double the radius
+                r += step
             next_step = min(next_step * 4, max(grid.nx, grid.ny) // 4 + 1)
+        assert not pending, f"uncertified kNN queries left: {sorted(pending)}"
         assert final_rows, "no kNN results produced"
         out_schema = T.StructType(
             [

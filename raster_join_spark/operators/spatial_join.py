@@ -607,9 +607,12 @@ class SpatialJoin:
         cols = [x_name, y_name] + ([agg.col] if want_sum else [])
         agg_col = agg.col
         # integral inputs keep integral partials end-to-end: the final
-        # SUM is then LongType, matching the BIGINT oracle bit-for-bit
-        # (per-batch float64 bincount is exact below 2^53, re-emitted as
-        # int64 before the exchange — no float accumulation crosses it)
+        # SUM is then LongType, matching the BIGINT oracle bit-for-bit.
+        # Values transfer as int64 (never narrowed through float64) and
+        # the per-batch partial uses the float64-bincount fast path ONLY
+        # while every intermediate sum provably stays under 2^53 —
+        # otherwise it falls back to an exact int64 scatter-add, so
+        # exactness never silently degrades at large magnitudes
         integral = want_sum and isinstance(
             points.schema[agg.col].dataType,
             (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
@@ -652,23 +655,41 @@ class SpatialJoin:
                 val = (
                     np.asarray(
                         rb.column(names.index(agg_col)).to_numpy(zero_copy_only=False),
-                        np.float64,
+                        np.int64 if integral else np.float64,
                     )
                     if want_sum
                     else None
                 )
                 cells = grid.cell_ids_np(x, y)
                 cnt = np.zeros(n_polys, np.int64)
-                sm = np.zeros(n_polys, np.float64) if want_sum else None
+                sm = (
+                    np.zeros(n_polys, np.int64 if integral else np.float64)
+                    if want_sum
+                    else None
+                )
+
+                def acc_sum(polys, vals):
+                    # float64 bincount is the fast path; its partial sums
+                    # are exact integers only while bounded by 2^53, so
+                    # large-magnitude integral batches take the exact
+                    # (slower) int64 scatter-add instead of silently
+                    # losing low bits while claiming BIGINT parity
+                    if (
+                        integral
+                        and len(vals)
+                        and float(np.abs(vals).max()) * len(vals) >= 2.0**53
+                    ):
+                        np.add.at(sm, polys, vals)
+                    else:
+                        out = np.bincount(polys, weights=vals, minlength=n_polys)
+                        sm[:] += out.astype(np.int64) if integral else out
 
                 if art["interior"] is not None:
                     rows_i, polys_i = _csr_expand(art["interior"], cells)
                     if len(rows_i):
                         cnt += np.bincount(polys_i, minlength=n_polys)
                         if want_sum:
-                            sm += np.bincount(
-                                polys_i, weights=val[rows_i], minlength=n_polys
-                            )
+                            acc_sum(polys_i, val[rows_i])
 
                 rows_b, polys_b = _csr_expand(art["boundary"], cells)
                 if len(rows_b):
@@ -678,13 +699,10 @@ class SpatialJoin:
                     pb = polys_b[mask]
                     cnt += np.bincount(pb, minlength=n_polys)
                     if want_sum:
-                        sm += np.bincount(pb, weights=val[rows_b][mask], minlength=n_polys)
+                        acc_sum(pb, val[rows_b][mask])
 
                 nz = np.nonzero(cnt)[0]
-                if want_sum:
-                    sm_out = sm[nz].astype(np.int64) if integral else sm[nz]
-                else:
-                    sm_out = np.full(len(nz), np.nan)
+                sm_out = sm[nz] if want_sum else np.full(len(nz), np.nan)
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(nz.astype(np.int64)),

@@ -224,3 +224,29 @@ def test_split_mode_equals_fused(spark, points_df, polyset, grid):
         a = sj.hybrid_join(points_df, agg).orderBy("poly_id").toPandas()
         b = sj.hybrid_join(points_df, agg, fused="split").orderBy("poly_id").toPandas()
         assert a["agg"].tolist() == b["agg"].tolist(), agg.op
+
+
+def test_fused_sum_exact_above_2pow53(spark, polyset, grid):
+    """Integral SUM stays bit-exact when values exceed float64's 2^53
+    integer range: 2^55+1 is not float64-representable, so any float
+    narrowing in the transfer or the partial accumulation would lose the
+    +1 per row. The kernel must transfer int64 and guard the bincount
+    fast path (falling back to exact int64 scatter-add)."""
+    n = 100
+    big = (1 << 55) + 1
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(n)],
+            "x": np.round(rng.uniform(0, 1000, n)),
+            "y": np.round(rng.uniform(0, 1000, n)),
+            "val": np.full(n, big, dtype=np.int64),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sj = SpatialJoin(spark, polyset, grid)
+    got = sj.hybrid_join(df, AggSpec("sum", "val", "agg")).orderBy("poly_id").toPandas()
+    cnt, _ = brute_counts(pdf["x"].to_numpy(), pdf["y"].to_numpy(), polyset)
+    exp = cnt * big  # exact int64 per polygon
+    exp_series = [int(v) if v else None for v in exp]
+    assert [None if pd.isna(v) else int(v) for v in got["agg"]] == exp_series
