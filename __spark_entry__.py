@@ -97,6 +97,38 @@ def _q_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eb.select("poly_id", "cnt", "lo1", "hi1")
 
 
+def _q_error_bounds_tight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4's area-weighted tight interval (RasterJoinBounds.cpp:202-381)
+    in integer micro-units: frac pre-quantized to floor(frac*1e6) on the
+    driver so the whole fold is int64 — bit-exact across engines with no
+    float-summation-order hazard."""
+    from raster_join_spark.fixtures import COARSE_GRID
+
+    eb = _sj(spark, COARSE_GRID).error_bounds(_points(spark, sf_dir))
+    return eb.select("poly_id", "cnt", "lo_u6", "hi_u6")
+
+
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction: binary payload -> typed
+    (mime, width, height, n_frames) struct via the deterministic
+    FakeCodec, whose meta is pure integer arithmetic on the payload byte
+    length (multimodal.py) — SQL-expressible, so the multimodal family
+    gets a fully oracle-gated row (media_features stays rows-only at the
+    codec seam)."""
+    from raster_join_spark.operators.multimodal import attach_media_meta
+    from raster_join_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, sf_dir)
+    out = attach_media_meta(pages, payload_col="html")
+    return out.select(
+        "url",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.width").cast("long").alias("width"),
+        F.col("media_meta.height").cast("long").alias("height"),
+        F.col("media_meta.n_frames").cast("long").alias("n_frames"),
+    )
+
+
 def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raster_join_spark.fixtures import COARSE_GRID
 
@@ -368,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_filter_count": _q_filter_count,
         "spatial_raster_count": _q_raster_count,
         "spatial_error_bounds": _q_error_bounds,
+        "spatial_error_bounds_tight": _q_error_bounds_tight,
         "tile_assign": _q_tile_assign,
         "mercator_assign": _q_mercator,
         "tile_partition": _q_tile_partition,
@@ -393,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_minhash_pairs,
         "text_simhash": _q_simhash,
         "emb_neardup_pairs": _q_emb_neardup,
+        "media_meta": _q_media_meta,
         "media_features": _q_media_features,
     }
 
@@ -401,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
     from raster_join_spark import oracles
     from raster_join_spark.fixtures import COARSE_GRID
     from raster_join_spark.operators import dedup as D
+    from raster_join_spark.operators import multimodal as M
     from raster_join_spark.operators import similarity as S
     from raster_join_spark.operators import textops as X
 
@@ -411,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_filter_count": oracles.index_count_sql(where=FILTER_WHERE),
         "spatial_raster_count": oracles.raster_count_sql(),
         "spatial_error_bounds": oracles.error_bounds_sql(),
+        "spatial_error_bounds_tight": oracles.error_bounds_sql(tight=True),
         "tile_assign": oracles.tile_assign_sql(),
         "mercator_assign": oracles.mercator_assign_sql(),
         "tile_partition": oracles.tile_partition_sql(),
@@ -440,5 +476,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup_pairs": S.embedding_neardup_sql(
             n_planes=6, min_cos_x100=30, dim=64
         ),
+        "media_meta": M.media_meta_sql(),
         # media_features: codec-based -> not SQL-expressible; rows-only.
     }

@@ -83,6 +83,26 @@ def attach_media_meta(df: DataFrame, payload_col: str = "html", codec: Codec | N
     return df.withColumn("media_meta", _meta(F.col(payload_col)))
 
 
+def media_meta_sql() -> str:
+    """DuckDB twin of attach_media_meta over the pages fixture: the
+    FakeCodec's meta is pure integer arithmetic on the payload byte
+    length, so the multimodal metadata path is fully oracle-gateable
+    (the decode path, extract_features, stays rows-only at the codec
+    seam)."""
+    from raster_join_spark.sources.pages import PAGES_CTE
+
+    nb = "octet_length(encode(concat('<html><body>', text, '</body></html>')))"
+    return f"""
+WITH {PAGES_CTE},
+b AS (SELECT url, {nb} AS nb FROM pages)
+SELECT url, 'image/fake' AS mime,
+       CAST(16 + nb % 17 AS BIGINT) AS width,
+       CAST(16 + nb % 13 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_frames
+FROM b
+"""
+
+
 def _payload_chunks(pdf: pd.DataFrame, payload_col: str, budget_bytes: int):
     """Split one Arrow batch into chunks whose summed payload bytes stay
     under the budget (>=1 row per chunk) — bounds peak decode memory in

@@ -763,15 +763,25 @@ class SpatialJoin:
         sound: exact is always inside), [cnt-fp, cnt+fn] (area-weighted,
         the paper's tight interval). Mirrors RasterJoinBounds.cpp:202-381 +
         interval assembly RasterJoin/main.cpp:178-193.
+
+        Alongside the float lo/hi, lo_u6/hi_u6 carry the tight interval in
+        integer MICRO-UNITS (per-cell area fraction pre-quantized to
+        floor(frac*1e6) on the driver, then summed as int64): the whole
+        fold is integer arithmetic, so it is bit-identical across Spark /
+        DuckDB regardless of float summation order — the oracle-gateable
+        form of the tight interval per the repo's quantization rule.
+        (int64 headroom: cnt*1e6 overflows only past ~9e12 rows/polygon.)
         """
         t = self.tables
         b_c, b_p, b_f, b_ci = t.boundary_pairs()
+        frac_u6 = np.floor(b_f.astype(np.float64) * 1e6).astype(np.int64)
         boundary = self._pairs_df(
             b_c,
             b_p,
             cache_key="boundary_frac",
             extra={
                 "frac": (b_f.astype(np.float64), T.DoubleType()),
+                "frac_u6": (frac_u6, T.LongType()),
                 "attributed": (b_ci.astype(np.bool_), T.BooleanType()),
             },
         )
@@ -798,6 +808,17 @@ class SpatialJoin:
                 F.sum(
                     F.when(~F.col("attributed"), F.col("frac") * F.col("_cnt")).otherwise(0.0)
                 ).alias("fn"),
+                F.sum(
+                    F.when(
+                        F.col("attributed"),
+                        (F.lit(1_000_000) - F.col("frac_u6")) * F.col("_cnt"),
+                    ).otherwise(F.lit(0))
+                ).alias("fp_u6"),
+                F.sum(
+                    F.when(~F.col("attributed"), F.col("frac_u6") * F.col("_cnt")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("fn_u6"),
             )
         )
         all_polys = self.spark.range(self.polyset.n_polys).withColumnRenamed("id", "poly_id")
@@ -811,6 +832,14 @@ class SpatialJoin:
                 (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("fn1"), F.lit(0))).alias("hi1"),
                 (F.coalesce(F.col("cnt"), F.lit(0)) - F.coalesce(F.col("fp"), F.lit(0.0))).alias("lo"),
                 (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("fn"), F.lit(0.0))).alias("hi"),
+                (
+                    F.coalesce(F.col("cnt"), F.lit(0)) * F.lit(1_000_000)
+                    - F.coalesce(F.col("fp_u6"), F.lit(0))
+                ).alias("lo_u6"),
+                (
+                    F.coalesce(F.col("cnt"), F.lit(0)) * F.lit(1_000_000)
+                    + F.coalesce(F.col("fn_u6"), F.lit(0))
+                ).alias("hi_u6"),
             )
         )
 

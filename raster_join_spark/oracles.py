@@ -91,14 +91,22 @@ def raster_count_sql(grid: GridSpec = FINE_GRID) -> str:
     return f"WITH {POINTS_CTE}, {_centers_cte(grid)} " + "\nUNION ALL\n".join(parts)
 
 
-def error_bounds_sql(grid: GridSpec = COARSE_GRID) -> str:
-    """cnt/lo1/hi1 per polygon with the boundary classification inlined as
-    VALUES (cell_id, poly_id, attributed)."""
+def error_bounds_sql(grid: GridSpec = COARSE_GRID, tight: bool = False) -> str:
+    """Per-polygon error intervals with the boundary classification
+    inlined as VALUES.
+
+    ``tight=False``: cnt/lo1/hi1 (whole-pixel, sound interval).
+    ``tight=True``: cnt/lo_u6/hi_u6 — the paper's area-weighted tight
+    interval (RasterJoinBounds.cpp:202-381) in integer micro-units: the
+    per-cell fraction is pre-quantized to floor(frac*1e6) on the driver
+    and inlined as BIGINT, so the whole fold is integer arithmetic and
+    bit-identical to Spark regardless of summation order."""
     t = POLY_GRID_CACHE.get(grid, ORACLE_POLYS)
-    b_c, b_p, _, b_ci = t.boundary_pairs()
+    b_c, b_p, b_f, b_ci = t.boundary_pairs()
+    frac_u6 = np.floor(b_f.astype(np.float64) * 1e6).astype(np.int64)
     rows = ",".join(
-        f"({int(c)},{int(p)},{str(bool(a)).upper()})"
-        for c, p, a in zip(b_c, b_p, b_ci)
+        f"({int(c)},{int(p)},{str(bool(a)).upper()},{int(f6)})"
+        for c, p, a, f6 in zip(b_c, b_p, b_ci, frac_u6)
     )
     cell_sql = grid.cell_id_sql("x", "y")
     parts = []
@@ -108,23 +116,31 @@ def error_bounds_sql(grid: GridSpec = COARSE_GRID) -> str:
             f"SELECT CAST({p} AS BIGINT) AS poly_id, count(*) AS cnt FROM centers WHERE {pip}"
         )
     raster = "\nUNION ALL\n".join(parts)
+    if tight:
+        proj = """
+       CAST(r.cnt * 1000000 - coalesce(a.fp_u6, 0) AS BIGINT) AS lo_u6,
+       CAST(r.cnt * 1000000 + coalesce(a.fn_u6, 0) AS BIGINT) AS hi_u6"""
+    else:
+        proj = """
+       CAST(r.cnt - coalesce(a.fp1, 0) AS BIGINT) AS lo1,
+       CAST(r.cnt + coalesce(a.fn1, 0) AS BIGINT) AS hi1"""
     return f"""
 WITH {POINTS_CTE},
 {_centers_cte(grid)},
 pcells AS (SELECT {cell_sql} AS cell_id, count(*) AS c FROM points GROUP BY 1),
-bnd(cell_id, poly_id, attributed) AS (VALUES {rows}),
+bnd(cell_id, poly_id, attributed, frac_u6) AS (VALUES {rows}),
 raster AS ({raster}),
 acc AS (
   SELECT CAST(b.poly_id AS BIGINT) AS poly_id,
          sum(CASE WHEN b.attributed THEN p.c ELSE 0 END) AS fp1,
-         sum(CASE WHEN NOT b.attributed THEN p.c ELSE 0 END) AS fn1
+         sum(CASE WHEN NOT b.attributed THEN p.c ELSE 0 END) AS fn1,
+         sum(CASE WHEN b.attributed THEN (1000000 - b.frac_u6) * p.c ELSE 0 END) AS fp_u6,
+         sum(CASE WHEN NOT b.attributed THEN b.frac_u6 * p.c ELSE 0 END) AS fn_u6
   FROM bnd b JOIN pcells p ON p.cell_id = b.cell_id
   GROUP BY 1
 )
 SELECT r.poly_id,
-       r.cnt AS cnt,
-       CAST(r.cnt - coalesce(a.fp1, 0) AS BIGINT) AS lo1,
-       CAST(r.cnt + coalesce(a.fn1, 0) AS BIGINT) AS hi1
+       r.cnt AS cnt,{proj}
 FROM raster r LEFT JOIN acc a ON a.poly_id = r.poly_id
 """
 

@@ -167,6 +167,12 @@ def test_error_bounds_contain_exact(spark, points_df, polyset, random_points):
         # fraction-weighted interval is within the whole-pixel one
         assert (eb["lo"] >= eb["lo1"] - 1e-9).all()
         assert (eb["hi"] <= eb["hi1"] + 1e-9).all()
+        # micro-unit integer interval tracks the float one to within the
+        # per-cell quantization (frac floor costs < 1 unit per boundary
+        # cell contribution; bound loosely by total count)
+        n_pts = int(eb["cnt"].sum())
+        assert (np.abs(eb["lo_u6"] - eb["lo"] * 1e6) <= n_pts + 1).all()
+        assert (np.abs(eb["hi_u6"] - eb["hi"] * 1e6) <= n_pts + 1).all()
 
 
 def test_raster_error_shrinks_with_resolution(spark, points_df, polyset, random_points):
