@@ -368,6 +368,10 @@ def minhash_dedup(docs: DataFrame, **kw) -> DataFrame:
 
 # ----------------------------------------------------- winnowing (rolling)
 
+# polynomial-hash base for winnowing gram hashes (mod _P31): large enough
+# to mix codepoints, small enough that P31 * B + maxcodepoint < 2^52
+_WIN_B = 1_000_003
+
 
 def winnow_fingerprints(
     docs: DataFrame,
@@ -377,14 +381,15 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Document fingerprinting via winnowing (MOSS scheme): hash every
-    character k-gram (md5-derived 60-bit hash, shared with the SQL twin),
+    character k-gram with a modular polynomial over unicode codepoints
+    (base ``_WIN_B`` mod 2^31-1 — shared bit-for-bit with the SQL twin),
     then keep the LEFTMOST minimum of every `window` consecutive hashes.
     Output: one row per selected fingerprint (doc_id, pos, fp) — join on
-    fp to find copied passages across documents. Arrow-batched; the
-    selection is a vectorized numpy sliding-window argmin. No shuffle:
-    every doc winnows locally inside its input partition."""
-    import hashlib
-
+    fp to find copied passages across documents. Arrow-batched; BOTH the
+    gram hashing (k Horner steps over the whole codepoint array) and the
+    selection (sliding-window argmin) are vectorized numpy — zero
+    per-gram Python calls. No shuffle: every doc winnows locally inside
+    its input partition."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -401,20 +406,34 @@ def winnow_fingerprints(
                 if n < k:
                     continue
                 ng = n - k + 1
-                h = np.fromiter(
-                    (
-                        int(hashlib.md5(text[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
-                        for i in range(ng)
-                    ),
-                    dtype=np.int64,
-                    count=ng,
-                )
-                # winnow: leftmost min of each `window` consecutive hashes
+                # vectorized rolling polynomial: Horner over codepoints,
+                # one (mul, add, mod) sweep per gram offset — k array ops
+                # total, identical integer arithmetic to the SQL twin
+                # (intermediates < P31 * B + 2^21 < 2^52, no overflow)
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                h = codes[:ng].copy()
+                for j in range(1, k):
+                    h = (h * _WIN_B + codes[j : j + ng]) % _P31
+                # winnow: leftmost min of each `window` consecutive hashes.
+                # key = (hash << 32) | pos makes the leftmost tie win under
+                # plain min; windowed min via `window-1` pairwise minimums
+                # (no strided argmin — ~3x faster); sliding-window argmin
+                # positions are non-decreasing, so consecutive-dedup fully
+                # dedups and the output is already sorted by pos
                 if len(h) < window:
                     sel = np.array([int(np.argmin(h))])
                 else:
-                    sw = np.lib.stride_tricks.sliding_window_view(h, window)
-                    sel = np.unique(sw.argmin(axis=1) + np.arange(len(sw)))
+                    key = (h << 32) + np.arange(ng, dtype=np.int64)
+                    nw = ng - window + 1
+                    m = key[:nw].copy()
+                    for j in range(1, window):
+                        np.minimum(m, key[j : j + nw], out=m)
+                    keep = np.empty(nw, dtype=bool)
+                    keep[0] = True
+                    np.not_equal(m[1:], m[:-1], out=keep[1:])
+                    sel = m[keep] & 0xFFFFFFFF
                 ids.extend([did] * len(sel))
                 poss.extend(sel.tolist())
                 fps.extend(h[sel].tolist())
@@ -454,10 +473,15 @@ def winnow_fingerprints_sql(k: int = 5, window: int = 4) -> str:
             conds.append(f"ld{q} IS NOT NULL AND ld{q} >= fp")
         clauses.append("(" + " AND ".join(conds) + ")" if conds else "TRUE")
     selected = "\n     OR ".join(clauses)
+    # gram hash: the same Horner polynomial over unicode codepoints as
+    # the numpy kernel — exact integer arithmetic, engine-portable
+    gram_h = "CAST(unicode(substr(text, i, 1)) AS BIGINT)"
+    for j in range(1, k):
+        gram_h = f"(({gram_h}) * {_WIN_B} + unicode(substr(text, i + {j}, 1))) % {_P31}"
     return f"""
 WITH grams AS (
   SELECT doc_id, i - 1 AS pos,
-         {h60_sql(f"substr(text, i, {k})")} AS fp
+         {gram_h} AS fp
   FROM (
     SELECT doc_id, text, unnest(range(1, len(text) - {k} + 2)) AS i
     FROM documents WHERE len(text) >= {k}
