@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -266,8 +266,13 @@ def minhash_lsh_pairs(
 
     Signature slices of r = k/bands values are the bucket key (joining on
     the raw slice is exactly band-hash equality, minus the hash);
-    ``max_bucket`` caps degenerate buckets (boilerplate text at web
-    scale) before the quadratic pair expansion.
+    DEGENERATE buckets — more than ``max_bucket`` members, i.e. web-scale
+    boilerplate collisions whose quadratic pair expansion would dominate
+    the job while producing near-useless candidates — are DROPPED
+    entirely via a broadcast anti-join (the word_jaccard_pairs df_cap
+    pattern). The hot-bucket set is found with a map-side-combined count
+    (tiny: only buckets past the cap), so no full-input window shuffle
+    ever runs on the skewed bucket key.
     """
     assert k % bands == 0
     r = k // bands
@@ -283,10 +288,13 @@ def minhash_lsh_pairs(
         id_col, "bb.*"
     )
     keycols = ["band"] + [f"k{j}" for j in range(r)]
-    w = Window.partitionBy(*keycols).orderBy(id_col)
-    buckets = buckets.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= max_bucket
+    hot = (
+        buckets.groupBy(*keycols)
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > max_bucket)
+        .select(*keycols)
     )
+    buckets = buckets.join(F.broadcast(hot), keycols, "left_anti")
     a = buckets.alias("a")
     b = buckets.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -328,7 +336,7 @@ def minhash_lsh_pairs_sql(
     max_bucket: int = 1000,
 ) -> str:
     """DuckDB twin of minhash_lsh_pairs — identical hash family, banding,
-    bucket cap and pair emission."""
+    hot-bucket drop and pair emission."""
     assert k % bands == 0
     r = k // bands
     band_selects = "\nUNION ALL\n".join(
@@ -338,19 +346,17 @@ def minhash_lsh_pairs_sql(
         )
         for bi in range(bands)
     )
-    keys = ", ".join(["band"] + [f"k{j}" for j in range(r)])
-    join_keys = " AND ".join(
-        [f"a.{c} = b.{c}" for c in ["band"] + [f"k{j}" for j in range(r)]]
-    )
+    keycols = ["band"] + [f"k{j}" for j in range(r)]
+    keys = ", ".join(keycols)
+    join_keys = " AND ".join(f"a.{c} = b.{c}" for c in keycols)
+    hot_match = " AND ".join(f"h.{c} = t.{c}" for c in keycols)
     return f"""
 WITH {_minhash_sig_cte(k, bands, shingle_w, seed)},
 bands_t AS ({band_selects}),
+hot AS (SELECT {keys} FROM bands_t GROUP BY {keys} HAVING count(*) > {max_bucket}),
 capped AS (
-  SELECT * FROM (
-    SELECT doc_id, {keys},
-           row_number() OVER (PARTITION BY {keys} ORDER BY doc_id) AS rn
-    FROM bands_t
-  ) WHERE rn <= {max_bucket}
+  SELECT * FROM bands_t t
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE {hot_match})
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM capped a JOIN capped b ON {join_keys} AND a.doc_id < b.doc_id

@@ -413,13 +413,16 @@ def embedding_neardup_pairs(
     dim: int | None = None,
     max_bucket: int = 2000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH-bucket blocking, hot
-    buckets capped at ``max_bucket`` rows (a degenerate boilerplate
-    bucket can otherwise go O(n^2) — same guard as minhash_lsh_pairs),
-    then an exact cosine filter on a bucket-equijoin — 100% JVM unrolled
-    expressions, reproduced bit-for-bit by embedding_neardup_sql.
-    Returns (id_a, id_b, cos_u6) with the cosine quantized to
-    micro-units (the repo's float-fold quantization rule)."""
+    """Embedding-cosine near-duplicate pairs: LSH-bucket blocking with
+    DEGENERATE buckets (more than ``max_bucket`` members — boilerplate
+    collisions whose O(n^2) pair expansion would dominate while yielding
+    near-useless candidates) DROPPED via a broadcast anti-join against a
+    map-side-combined hot-bucket count (same guard as minhash_lsh_pairs
+    and word_jaccard_pairs — no full-input window shuffle on the skewed
+    bucket key), then an exact cosine filter on a bucket-equijoin —
+    100% JVM unrolled expressions, reproduced bit-for-bit by
+    embedding_neardup_sql. Returns (id_a, id_b, cos_u6) with the cosine
+    quantized to micro-units (the repo's float-fold quantization rule)."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
@@ -431,10 +434,13 @@ def embedding_neardup_pairs(
         lsh_bucket_col(vec_col, planes).alias("bucket"),
         F.when(nrm_raw == 0.0, F.lit(1.0)).otherwise(nrm_raw).alias("nrm"),
     )
-    w = Window.partitionBy("bucket").orderBy(id_col)
-    capped = base.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= max_bucket
+    hot = (
+        base.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > max_bucket)
+        .select("bucket")
     )
+    capped = base.join(F.broadcast(hot), "bucket", "left_anti")
     a = capped.alias("a")
     b = capped.alias("b")
     dot: Column | None = None
@@ -487,11 +493,10 @@ WITH base AS (
          CASE WHEN sqrt({sd}) = 0 THEN 1.0 ELSE sqrt({sd}) END AS nrm
   FROM {table}
 ),
+hot AS (SELECT bucket FROM base GROUP BY bucket HAVING count(*) > {max_bucket}),
 capped AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY {id_col}) AS rn
-    FROM base
-  ) WHERE rn <= {max_bucket}
+  SELECT * FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.bucket = b.bucket)
 )
 SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
        CAST(floor((({dot}) / (a.nrm * b.nrm)) * 1000000.0) AS BIGINT) AS cos_u6

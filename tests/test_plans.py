@@ -86,6 +86,11 @@ def test_simhash_and_minhash_are_pure_jvm(spark):
         plan = plan_of(df)
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan
+    # hot-bucket cap must be a broadcast anti-join, never a full-input
+    # window shuffle over the (skewed) bucket key
+    pair_plan = plan_of(minhash_lsh_pairs(docs, k=8, bands=2, shingle_w=2))
+    assert "Window" not in pair_plan, pair_plan
+    assert "LeftAnti" in pair_plan, pair_plan
 
 
 def test_neardup_pairs_pure_jvm(spark):
@@ -100,6 +105,9 @@ def test_neardup_pairs_pure_jvm(spark):
     )
     plan = plan_of(embedding_neardup_pairs(emb, n_planes=2, dim=2))
     assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+    # bucket cap = broadcast anti-join, no window shuffle on the bucket key
+    assert "Window" not in plan, plan
+    assert "LeftAnti" in plan, plan
 
 
 def test_no_row_at_a_time_python_udfs_in_codebase():

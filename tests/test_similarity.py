@@ -115,8 +115,10 @@ def test_embedding_neardup_sql_parity(spark, emb, emb_pdf):
 
 
 def test_embedding_neardup_hot_bucket_cap(spark):
-    """A degenerate bucket (identical boilerplate embeddings) must be
-    bounded by max_bucket: pairs <= C(max_bucket, 2), not C(n, 2)."""
+    """A degenerate bucket (identical boilerplate embeddings) is DROPPED
+    when its size exceeds max_bucket — the broadcast anti-join guard that
+    keeps the pair expansion from going O(n^2) on web boilerplate — and
+    kept untouched when at or under the cap."""
     n = 60
     rows = [(i, [1.0] * 8 + [0.0] * 8) for i in range(n)]
     schema = T.StructType(
@@ -126,12 +128,14 @@ def test_embedding_neardup_hot_bucket_cap(spark):
         ]
     )
     emb = spark.createDataFrame(rows, schema)
-    pairs = S.embedding_neardup_pairs(
+    dropped = S.embedding_neardup_pairs(
         emb, n_planes=4, min_cos_x100=99, dim=16, max_bucket=10
     ).toPandas()
-    assert len(pairs) == 10 * 9 // 2  # capped, not 60*59/2
-    # the kept rows are the lowest ids (deterministic row_number order)
-    assert set(pairs.id_a) | set(pairs.id_b) == set(range(10))
+    assert len(dropped) == 0  # hot bucket gone, not quadratically expanded
+    kept = S.embedding_neardup_pairs(
+        emb, n_planes=4, min_cos_x100=99, dim=16, max_bucket=60
+    ).toPandas()
+    assert len(kept) == 60 * 59 // 2
 
 
 def test_ivf_topk_recall(spark, emb, emb_pdf):
