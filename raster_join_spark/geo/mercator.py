@@ -28,6 +28,54 @@ from pyspark.sql import functions as F
 WORLD_ZOOM_LEVEL = 22.0
 _SCALE = math.pow(2.0, WORLD_ZOOM_LEVEL)  # exp2(22)
 
+# ---------------------------------------------------------------- polynomials
+#
+# The forward transform needs sin(t) and atanh(s). libm transcendentals are
+# NOT engine-portable (JVM Math vs DuckDB libm can differ in the last
+# float64 ulp, and a JDK/libm update can flip a value near a float32
+# rounding boundary — the repo's oracle-parity hard rule bans them).
+# Instead both are evaluated as fixed Horner polynomials in basic IEEE ops
+# (+,-,*; no division) with the SAME coefficient literals and operation
+# order in numpy, Spark Column expressions, and generated SQL — so all
+# three engines produce BIT-IDENTICAL float64, by IEEE determinism, at any
+# accuracy. Accuracy vs true Mercator: sin is a 12-term Taylor series
+# (exact to <1e-18 rel over |t| <= pi/2); the atanh odd series with 48
+# terms is <1e-13 rel inside the continental-US band (|lat| <= 49.4, the
+# operator's ingest domain, UsefulFuncs.cpp:579-583) and degrades to
+# ~1e-8 rel at |lat| = 60 — far below the float32 narrowing either way.
+
+_SIN_C = [(-1.0) ** n / float(math.factorial(2 * n + 1)) for n in range(12)]
+_ATANH_C = [1.0 / float(2 * n + 1) for n in range(48)]
+
+
+def _horner_np(u: np.ndarray, coeffs: list[float]) -> np.ndarray:
+    p = np.full_like(u, coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+        p = p * u + c
+    return p
+
+
+def _horner_col(u: Column, coeffs: list[float]) -> Column:
+    p: Column = F.lit(coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+        p = p * u + F.lit(c)
+    return p
+
+
+def _horner_sql(var: str, coeffs: list[float]) -> str:
+    e = repr(coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+        e = f"({e}) * {var} + {c!r}"
+    return e
+
+
+def _sin_np(t: np.ndarray) -> np.ndarray:
+    return t * _horner_np(t * t, _SIN_C)
+
+
+def _atanh_np(s: np.ndarray) -> np.ndarray:
+    return s * _horner_np(s * s, _ATANH_C)
+
 
 @dataclass(frozen=True)
 class Bounds:
@@ -50,16 +98,18 @@ def geo2world_np(lat: np.ndarray, lon: np.ndarray) -> tuple[np.ndarray, np.ndarr
     lat = np.asarray(lat, dtype=np.float64)
     lon = np.asarray(lon, dtype=np.float64)
     x = (lon + 180.0) / 360.0 * 256.0 * _SCALE
-    with np.errstate(divide="ignore"):  # atanh(±1) at the poles, handled below
-        y = np.where(
-            lat == 90.0,
-            256.0 * _SCALE,
-            np.where(
-                lat == -90.0,
-                0.0,
-                (np.pi - np.arctanh(np.sin(lat * np.pi / 180.0))) / np.pi * 128.0 * _SCALE,
-            ),
-        )
+    y = np.where(
+        lat == 90.0,
+        256.0 * _SCALE,
+        np.where(
+            lat == -90.0,
+            0.0,
+            (np.pi - _atanh_np(_sin_np(lat * (np.pi / 180.0))))
+            / np.pi
+            * 128.0
+            * _SCALE,
+        ),
+    )
     return x, y
 
 
@@ -113,9 +163,12 @@ def geo2world_cols(
 ) -> tuple[Column, Column, Column]:
     """Spark-native transform: (keep, x, y) Column expressions.
 
-    atanh(z) = 0.5*ln((1+z)/(1-z)); everything stays JVM-side / codegen'd —
-    replaces the reference's per-record C++ loop (Dataset.cpp:26-31) with a
-    vectorized scan projection that Catalyst can pipeline with pushed filters.
+    sin/atanh run as the shared Horner polynomials (see module header) —
+    basic IEEE ops only, bit-identical to geo2world_np and to the
+    generated oracle SQL; everything stays JVM-side / codegen'd —
+    replaces the reference's per-record C++ loop (Dataset.cpp:26-31) with
+    a vectorized scan projection that Catalyst can pipeline with pushed
+    filters.
     """
     keep = (
         (lat >= F.lit(bounds.minlat))
@@ -125,8 +178,9 @@ def geo2world_cols(
     )
     cx, cy = world_center(bounds)
     x = (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(256.0 * _SCALE) - F.lit(cx)
-    s = F.sin(lat * F.lit(math.pi / 180.0))
-    atanh = F.lit(0.5) * F.log((F.lit(1.0) + s) / (F.lit(1.0) - s))
+    t = lat * F.lit(math.pi / 180.0)
+    s = t * _horner_col(t * t, _SIN_C)
+    atanh = s * _horner_col(s * s, _ATANH_C)
     y = (F.lit(math.pi) - atanh) / F.lit(math.pi) * F.lit(128.0 * _SCALE) - F.lit(cy)
     # narrow to float32 to match the reference's stored Location type
     return keep, x.cast("float"), y.cast("float")

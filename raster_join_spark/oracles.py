@@ -167,30 +167,40 @@ def mercator_assign_sql() -> str:
     """Web-Mercator ingest transform (S2's real math: Utils.h:9-18 +
     UsefulFuncs.cpp:578-597) as generated SQL.
 
-    The ONE oracle that uses transcendentals (sin/ln): JVM Math and
-    DuckDB libm may differ in the last float64 ulp, but the reference
-    narrows stored coordinates to float32 (TaxiRecord.hpp:121-133) and
-    both engines' float64 results round to the SAME float32 — verified
-    bit-for-bit on the gate dataset (a flip needs a value within ~2^-29
-    of a rounding boundary). atanh(z) is expanded to 0.5*ln((1+z)/(1-z))
-    in the identical op order as geo/mercator.geo2world_cols."""
+    NO transcendentals: sin/atanh are the SAME Horner polynomials (same
+    coefficient literals, same operation order) as geo2world_cols /
+    geo2world_np — basic IEEE ops only, so the float64 intermediates are
+    bit-identical across engines by IEEE determinism and the float32
+    narrowing (TaxiRecord.hpp:121-133) cannot flip. This keeps the repo's
+    no-transcendentals-in-the-exact-gate rule intact."""
     import math
 
-    from raster_join_spark.geo.mercator import US_BOUNDS, _SCALE, world_center
+    from raster_join_spark.geo.mercator import (
+        _ATANH_C,
+        _SCALE,
+        _SIN_C,
+        US_BOUNDS,
+        _horner_sql,
+        world_center,
+    )
 
     cx, cy = world_center(US_BOUNDS)
     b = US_BOUNDS
     pi = repr(math.pi)
-    s = f"sin(lat * {math.pi / 180.0!r})"
     return f"""
 WITH {POINTS_CTE},
-g AS (SELECT url, y / 1000000.0 AS lat, x / 1000000.0 AS lon FROM points)
+g AS (SELECT url, y / 1000000.0 AS lat, x / 1000000.0 AS lon FROM points
+      WHERE y / 1000000.0 >= {b.minlat!r} AND y / 1000000.0 <= {b.maxlat!r}
+        AND x / 1000000.0 >= {b.minlon!r} AND x / 1000000.0 <= {b.maxlon!r}),
+tt AS (SELECT url, lon, lat * {math.pi / 180.0!r} AS t FROM g),
+tu AS (SELECT url, lon, t, t * t AS u FROM tt),
+ss AS (SELECT url, lon, t * ({_horner_sql('u', _SIN_C)}) AS s FROM tu),
+su AS (SELECT url, lon, s, s * s AS u2 FROM ss),
+aa AS (SELECT url, lon, s * ({_horner_sql('u2', _ATANH_C)}) AS ath FROM su)
 SELECT url,
   CAST((lon + 180.0) / 360.0 * {256.0 * _SCALE!r} - {cx!r} AS REAL) AS wx,
-  CAST(({pi} - 0.5 * ln((1.0 + {s}) / (1.0 - {s}))) / {pi} * {128.0 * _SCALE!r} - {cy!r} AS REAL) AS wy
-FROM g
-WHERE lat >= {b.minlat!r} AND lat <= {b.maxlat!r}
-  AND lon >= {b.minlon!r} AND lon <= {b.maxlon!r}
+  CAST(({pi} - ath) / {pi} * {128.0 * _SCALE!r} - {cy!r} AS REAL) AS wy
+FROM aa
 """
 
 

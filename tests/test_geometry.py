@@ -328,3 +328,36 @@ def test_sliver_polygon_classification():
     py = np.array([1.03, 1.10, 0.99])
     m = pip_mask(px, py, sliver.poly_verts(0))
     assert m.tolist() == [True, False, False]
+
+
+def test_mercator_polynomial_bit_parity_and_accuracy(spark):
+    """The sin/atanh Horner polynomials must (a) be bit-identical between
+    the numpy and Spark implementations after float32 narrowing (basic
+    IEEE ops in identical order — no libm anywhere), and (b) track the
+    libm transform to <1e-12 rel inside the US ingest band."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from raster_join_spark.geo.mercator import geo2world_cols, transform_points_np
+
+    rng = np.random.RandomState(17)
+    lat = rng.uniform(US_BOUNDS.minlat, US_BOUNDS.maxlat, 5000)
+    lon = rng.uniform(US_BOUNDS.minlon, US_BOUNDS.maxlon, 5000)
+    keep, ex, ey = transform_points_np(lat, lon, float32=True)
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    k, wx, wy = geo2world_cols(F.col("lat"), F.col("lon"))
+    got = df.select(wx.alias("wx"), wy.alias("wy")).toPandas()
+    np.testing.assert_array_equal(
+        got["wx"].to_numpy(np.float32).view(np.uint32), ex.view(np.uint32)
+    )
+    np.testing.assert_array_equal(
+        got["wy"].to_numpy(np.float32).view(np.uint32), ey.view(np.uint32)
+    )
+    # accuracy vs libm (float64, pre-narrowing)
+    _, px, py = transform_points_np(lat, lon, float32=False)
+    ty = (np.pi - np.arctanh(np.sin(lat * np.pi / 180.0))) / np.pi * 128.0 * 2.0**22
+    from raster_join_spark.geo.mercator import world_center
+
+    _, cy = world_center()
+    rel = np.abs((py + cy) - ty) / np.abs(ty)
+    assert rel.max() < 1e-12
