@@ -197,6 +197,37 @@ def _q_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url", "wx", "wy")
 
 
+def _q_storage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/X1 end-to-end under the gate: write the points table into the
+    spatio-temporal tile store (partitioned parquet + manifest, hot-cell
+    salting forced via a low threshold), read it back through MANIFEST
+    pruning (S5 coarse sigma) for the fixture box + time range, apply the
+    exact residual filter, count. Oracle = the same filter on the raw
+    CTE, so a wrong write, a wrong manifest stat, or an over-eager prune
+    all surface as a count mismatch."""
+    import tempfile
+
+    from raster_join_spark.fixtures import COARSE_GRID
+    from raster_join_spark.sources.tiles import TileStore
+
+    pts = _points(spark, sf_dir)
+    store = TileStore(
+        base_dir=tempfile.mkdtemp(prefix="rjs_tilestore_"),
+        grid=COARSE_GRID,
+        salt_threshold=500,  # low: forces the salted-writer path at sf0.01
+    )
+    store.write(pts, ts_now=0.0)
+    df, _report = store.pruned_read(spark, box=BOX, t0=T0, t1=T1)
+    return df.filter(
+        (F.col("x") >= BOX[0])
+        & (F.col("y") >= BOX[1])
+        & (F.col("x") <= BOX[2])
+        & (F.col("y") <= BOX[3])
+        & (F.col("warc_ts") >= F.lit(T0).cast("timestamp_ntz"))
+        & (F.col("warc_ts") <= F.lit(T1).cast("timestamp_ntz"))
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
 RADIUS_RX, RADIUS_RY = 2_000_000.0, 1_500_000.0
 
 
@@ -407,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_poly_assign": _q_point_poly,
         "coarse_scan": _q_coarse_scan,
         "fullscan_filter": _q_fullscan,
+        "storage_roundtrip": _q_storage_roundtrip,
         "knn": _q_knn,
         "spatial_hybrid_sum": _q_hybrid_sum,
         "radius_ellipse": _q_radius,
@@ -453,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "point_poly_assign": oracles.point_poly_sql(),
         "coarse_scan": oracles.coarse_scan_sql(COARSE_GRID, BOX),
         "fullscan_filter": oracles.fullscan_sql(BOX, T0, T1),
+        "storage_roundtrip": oracles.fullscan_sql(BOX, T0, T1),
         "knn": oracles.knn_sql(),
         "spatial_hybrid_sum": oracles.sum_sql(),
         "radius_ellipse": oracles.radius_sql(RADIUS_RX, RADIUS_RY),

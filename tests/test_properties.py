@@ -72,3 +72,35 @@ def test_quadkey_prefix_property(x, y, z1, z2):
     kb = quadkey_np(np.array([x]), np.array([y]), 0.0, 0.0, 1024.0, 1024.0, hi)[0]
     assert kb.startswith(ka)
     assert len(ka) == lo and len(kb) == hi
+
+
+def test_accuracy_sweep_artifact_invariants():
+    """The committed ε-sweep artifact (tools/accuracy_sweep.py, mirroring
+    experiments/run-scripts/raster-accuracy.ps1:21-27) must satisfy the
+    paper's invariants: the whole-pixel GUARANTEED interval contains the
+    exact count for every polygon at every ε and its total width is
+    monotone non-increasing as ε shrinks (the ε-bound itself — the
+    realized |raster-exact| error may fluctuate per instance, so only its
+    coarsest-to-finest trend is asserted), and the tight micro-unit
+    interval sits inside the whole-pixel one."""
+    import csv
+    import pathlib
+    from collections import defaultdict
+
+    path = pathlib.Path(__file__).resolve().parent.parent / "BENCH" / "accuracy_sweep.csv"
+    rows = list(csv.DictReader(open(path)))
+    assert rows, "accuracy sweep artifact missing/empty"
+    tot_err = defaultdict(int)
+    tot_width = defaultdict(int)
+    for r in rows:
+        eps = int(r["eps_mdeg"])
+        exact, lo1, hi1 = int(r["exact"]), int(r["lo1"]), int(r["hi1"])
+        lo_u6, hi_u6 = int(r["lo_u6"]), int(r["hi_u6"])
+        assert lo1 <= exact <= hi1, r
+        assert lo1 * 1_000_000 <= lo_u6 <= hi_u6 <= hi1 * 1_000_000, r
+        tot_err[eps] += int(r["abs_err"])
+        tot_width[eps] += hi1 - lo1
+    eps_desc = sorted(tot_width, reverse=True)
+    widths = [tot_width[e] for e in eps_desc]
+    assert all(a >= b for a, b in zip(widths, widths[1:])), widths
+    assert tot_err[eps_desc[-1]] < tot_err[eps_desc[0]], dict(tot_err)
