@@ -67,6 +67,14 @@ class PolyGridTables:
         m = self.cls_kind == BOUNDARY
         return self.cls_cell[m], self.cls_poly[m], self.cls_frac[m], self.cls_center_in[m]
 
+    def boundary_fraction(self) -> float:
+        """Boundary (cell, poly) pairs as a fraction of all covered pairs
+        — the driver-side (free, data-independent) estimate of the share
+        of points that need the exact PIP kernel, assuming near-uniform
+        density per covered cell. Used by hybrid_join's plan auto-select."""
+        nb = int((self.cls_kind == BOUNDARY).sum())
+        return nb / max(len(self.cls_kind), 1)
+
 
 def _segments_intersect_rect(
     vx0, vy0, vx1, vy1, lbx, lby, rtx, rty

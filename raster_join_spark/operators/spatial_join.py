@@ -465,11 +465,28 @@ class SpatialJoin:
         ``fused=True`` (default for aggregate output) runs the one-pass
         partial-aggregation plan; ``fused="split"`` resolves interior
         cells ENTIRELY JVM-side and sends only boundary-cell points
-        through the Arrow kernel — the minimum-python plan, preferred at
-        full machine width / cluster scale; ``fused=False`` keeps the
-        pair-materializing broadcast-join plan (same rows, useful for
-        plan comparison and per-point outputs). All variants return
-        identical results."""
+        through the Arrow kernel — the minimum-python plan, but it scans
+        the input TWICE (cell partials + boundary semi-join are separate
+        consumers); ``fused=False`` keeps the pair-materializing
+        broadcast-join plan (same rows, useful for plan comparison and
+        per-point outputs). All variants return identical results.
+
+        ``fused="auto"`` applies the measured decision rule (round-3 A/B,
+        BENCH/BASELINE.md): post Arrow-maxBytesPerBatch fix the one-pass
+        fused kernel beat split at EVERY boundary fraction tried on an
+        uncached input (100M rows, local[32]: 2.4s vs 4.8s at 26%
+        boundary, 2.3s vs 6.6s at 6%) because split's second input scan
+        costs more than feeding interior points to the Arrow kernel.
+        Split only wins when the re-scan is ~free — so auto picks split
+        iff the input is memory-cached AND the boundary fraction is low;
+        otherwise the fused kernel."""
+        if fused == "auto" and agg.op in ("count", "sum", "avg"):
+            cached = bool(points.storageLevel.useMemory)
+            fused = (
+                "split"
+                if cached and self.tables.boundary_fraction() < 0.15
+                else True
+            )
         if fused == "split" and agg.op in ("count", "sum", "avg"):
             return self._split_agg(points, agg, include_zero, coord_transfer)
         if fused == "jvm":

@@ -256,3 +256,30 @@ def test_fused_sum_exact_above_2pow53(spark, polyset, grid):
     exp = cnt * big  # exact int64 per polygon
     exp_series = [int(v) if v else None for v in exp]
     assert [None if pd.isna(v) else int(v) for v in got["agg"]] == exp_series
+
+
+def test_fused_auto_selection(spark, points_df, polyset, random_points):
+    """fused='auto': one-pass fused kernel on uncached input (split's
+    second scan loses, measured round 3); split only for a memory-cached
+    input with a low boundary fraction. Results identical either way."""
+    fine = GridSpec(0.0, 0.0, 5.0, 5.0, 200, 200)
+    sj = SpatialJoin(spark, polyset, fine)
+    assert sj.tables.boundary_fraction() < 0.15  # fine grid: mostly interior
+
+    plan_uncached = (
+        sj.hybrid_join(points_df, fused="auto")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInArrow" in plan_uncached and "LeftSemi" not in plan_uncached
+
+    cached = points_df.persist()
+    try:
+        cached.count()
+        got = sj.hybrid_join(cached, fused="auto")
+        plan_cached = got._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan_cached  # the split plan's boundary semi-join
+        a = got.orderBy("poly_id").toPandas()
+        b = sj.hybrid_join(points_df).orderBy("poly_id").toPandas()
+        assert a["agg"].tolist() == b["agg"].tolist()
+    finally:
+        cached.unpersist()
