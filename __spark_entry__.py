@@ -253,7 +253,12 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raster_join_spark.fixtures import COARSE_GRID, KNN_K, KNN_QUERIES
     from raster_join_spark.operators.knn import knn_join
 
-    out = knn_join(spark, _points(spark, sf_dir), COARSE_GRID, KNN_QUERIES, KNN_K)
+    # density hint from parquet metadata (pages are 1:1 with events), so
+    # the probe disk is sized without scanning the derived table
+    n_total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    out = knn_join(
+        spark, _points(spark, sf_dir), COARSE_GRID, KNN_QUERIES, KNN_K, n_total=n_total
+    )
     return out.select(
         F.col("q_id").cast("long").alias("q_id"),
         F.col("event_id").cast("long").alias("event_id"),
