@@ -228,6 +228,49 @@ def _q_storage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+_STREAM_SEQ = iter(range(1_000_000))
+
+
+def _q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming under the exact gate: the points table is
+    written to a directory, replayed as a file-arrival stream
+    (availableNow), aggregated by the watermarked tumbling-window x
+    raster-cover polygon plan, and drained into a memory sink; the
+    returned batch DataFrame is the stream's complete output. Oracle =
+    the same epoch-aligned window arithmetic + cover VALUES in DuckDB,
+    so the streaming engine's windowing, stream-static broadcast join,
+    and replay machinery are all hash-checked."""
+    import tempfile
+
+    from raster_join_spark.fixtures import COARSE_GRID
+    from raster_join_spark.streaming.windowed import (
+        stream_points,
+        windowed_polygon_counts,
+    )
+
+    pts = _points(spark, sf_dir).select("url", "warc_ts", "x", "y")
+    src = tempfile.mkdtemp(prefix="rjs_stream_src_")
+    pts.write.mode("overwrite").parquet(src)
+    stream = stream_points(spark, src, spark.read.parquet(src).schema)
+    agg = windowed_polygon_counts(
+        stream, _sj(spark, COARSE_GRID), window="48 hours", watermark="1 hour"
+    )
+    qname = f"rjs_stream_win_{next(_STREAM_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.unix_timestamp("win_start").cast("long").alias("win_start_s"),
+        F.col("poly_id").cast("long").alias("poly_id"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
 RADIUS_RX, RADIUS_RY = 2_000_000.0, 1_500_000.0
 
 
@@ -444,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarse_scan": _q_coarse_scan,
         "fullscan_filter": _q_fullscan,
         "storage_roundtrip": _q_storage_roundtrip,
+        "streaming_window_poly": _q_streaming_window,
         "knn": _q_knn,
         "spatial_hybrid_sum": _q_hybrid_sum,
         "radius_ellipse": _q_radius,
@@ -491,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "coarse_scan": oracles.coarse_scan_sql(COARSE_GRID, BOX),
         "fullscan_filter": oracles.fullscan_sql(BOX, T0, T1),
         "storage_roundtrip": oracles.fullscan_sql(BOX, T0, T1),
+        "streaming_window_poly": oracles.streaming_window_sql(),
         "knn": oracles.knn_sql(),
         "spatial_hybrid_sum": oracles.sum_sql(),
         "radius_ellipse": oracles.radius_sql(RADIUS_RX, RADIUS_RY),

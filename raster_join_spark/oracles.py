@@ -270,6 +270,31 @@ FROM keys WHERE qk IS NOT NULL GROUP BY 1
 """
 
 
+def streaming_window_sql(grid: GridSpec = COARSE_GRID, window_s: int = 172_800) -> str:
+    """Batch twin of the streaming windowed polygon aggregation
+    (streaming/windowed.windowed_polygon_counts): tumbling event-time
+    windows (epoch-aligned, like F.window) x raster-cover attribution.
+    The cover pairs are inlined as VALUES — the oracle independently
+    reproduces the stream's full output after availableNow replay."""
+    t = POLY_GRID_CACHE.get(grid, ORACLE_POLYS)
+    rows = ",".join(
+        f"({int(c)},{int(p)})" for c, p in zip(t.cover_cell, t.cover_poly)
+    )
+    cell_sql = grid.cell_id_sql("x", "y")
+    return f"""
+WITH {POINTS_CTE},
+cells AS (
+  SELECT {cell_sql} AS cell_id,
+         CAST(floor(epoch(warc_ts) / {window_s}) * {window_s} AS BIGINT) AS win_start_s
+  FROM points
+),
+cover(cell_id, poly_id) AS (VALUES {rows})
+SELECT c.win_start_s, CAST(v.poly_id AS BIGINT) AS poly_id, count(*) AS cnt
+FROM cells c JOIN cover v ON v.cell_id = c.cell_id
+GROUP BY 1, 2
+"""
+
+
 def knn_sql(k: int = KNN_K) -> str:
     vals = ",".join(f"({q}, {qx!r}, {qy!r})" for q, qx, qy in KNN_QUERIES)
     return f"""
