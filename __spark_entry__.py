@@ -228,6 +228,50 @@ def _q_storage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_rule resumability under the exact gate: write the tile
+    store, run the checkpointed per-partition raster aggregation with an
+    INJECTED CRASH after two units, then resume — the second run skips
+    completed units via the lineage table and combines the additive
+    partials. The final per-polygon counts must hash-match the raster
+    oracle, proving a kill/resume produces the identical answer to an
+    uninterrupted run (plans/checkpoint.py). The unit function is the
+    pure-JVM raster join so the gate cost stays in the checkpoint
+    machinery, not per-unit python workers."""
+    import tempfile
+
+    from raster_join_spark.fixtures import COARSE_GRID
+    from raster_join_spark.plans.checkpoint import CheckpointedJob
+    from raster_join_spark.sources.tiles import TileStore
+
+    pts = _points(spark, sf_dir)
+    store = TileStore(
+        base_dir=tempfile.mkdtemp(prefix="rjs_ckpt_store_"),
+        grid=COARSE_GRID,
+        n_buckets=2,  # bounded unit count at gate scale
+    )
+    store.write(pts, ts_now=0.0)
+    sj = _sj(spark, COARSE_GRID)
+    job = CheckpointedJob(
+        spark, store, tempfile.mkdtemp(prefix="rjs_ckpt_"), job_id="driver_gate"
+    )
+
+    def unit_fn(slice_df: DataFrame) -> DataFrame:
+        # coalesce(1): a partial is <= n_polys rows — one file per unit
+        return sj.raster_join(slice_df, include_zero=False).coalesce(1)
+
+    try:
+        job.run(unit_fn, ts_now=0.0, fail_after_units=2)
+        raise AssertionError("injected failure did not fire")
+    except RuntimeError:
+        pass  # the simulated mid-job crash
+    out = job.run(unit_fn, ts_now=0.0)  # resume from lineage
+    all_polys = spark.range(sj.polyset.n_polys).withColumnRenamed("id", "poly_id")
+    return all_polys.join(out, "poly_id", "left").select(
+        "poly_id", F.coalesce(F.col("agg"), F.lit(0)).alias("agg")
+    )
+
+
 _STREAM_SEQ = iter(range(1_000_000))
 
 
@@ -488,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fullscan_filter": _q_fullscan,
         "storage_roundtrip": _q_storage_roundtrip,
         "streaming_window_poly": _q_streaming_window,
+        "checkpoint_resume": _q_checkpoint_resume,
         "knn": _q_knn,
         "spatial_hybrid_sum": _q_hybrid_sum,
         "radius_ellipse": _q_radius,
@@ -536,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
         "fullscan_filter": oracles.fullscan_sql(BOX, T0, T1),
         "storage_roundtrip": oracles.fullscan_sql(BOX, T0, T1),
         "streaming_window_poly": oracles.streaming_window_sql(),
+        "checkpoint_resume": oracles.raster_count_sql(COARSE_GRID),
         "knn": oracles.knn_sql(),
         "spatial_hybrid_sum": oracles.sum_sql(),
         "radius_ellipse": oracles.radius_sql(RADIUS_RX, RADIUS_RY),

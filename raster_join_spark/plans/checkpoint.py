@@ -36,6 +36,16 @@ from pyspark.sql import functions as F
 from raster_join_spark.sources.tiles import TileStore
 
 
+def _write_parquet(pdf, path: str) -> None:
+    """Driver-side parquet write (atomic at the caller's rename level) —
+    Spark-readable, used for the tiny per-unit partial/lineage/metrics
+    files so bookkeeping never costs a Spark job barrier."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+
 @dataclass
 class CheckpointedJob:
     spark: SparkSession
@@ -117,42 +127,60 @@ class CheckpointedJob:
         slice_df = self.spark.read.option(
             "basePath", os.path.join(self.store.base_dir, "data")
         ).parquet(part_dir)
-        partial = unit_fn(slice_df)
+        # ONE Spark job per unit: the distributed query runs on the
+        # executors, but a unit's PARTIAL is <= n_polys rows by the
+        # additive contract, so it lands on the driver (Arrow transfer)
+        # and the partial/lineage/metrics parquet files are written
+        # driver-side — per-unit cost stays in the query, not in 4 extra
+        # job barriers for row-count bookkeeping writes
+        pdf = unit_fn(slice_df).toPandas()
+        out_rows = len(pdf)
 
         tmp = self._unit_dir(unit, final=False)
         dst = self._unit_dir(unit, final=True)
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
-        partial.write.mode("overwrite").parquet(tmp)
+        os.makedirs(tmp)
+        _write_parquet(pdf, os.path.join(tmp, "part-0.parquet"))
         if os.path.isdir(dst):
             shutil.rmtree(dst)  # crashed between write and lineage: redo
         os.replace(tmp, dst)
-        out_rows = self.spark.read.parquet(dst).count()
         wall_ms = (time.perf_counter() - t0) * 1000
 
         ts = ts_now if ts_now is not None else time.time()
-        lineage_row = self.spark.createDataFrame(
-            [
-                (
-                    self.job_id,
-                    unit,
-                    int(snapshot_id),
-                    f"cell_bucket={part['cell_bucket']}/tbucket={part['tbucket']}",
-                    int(part["rows"]),
-                    int(out_rows),
-                    float(ts),
-                )
-            ],
-            "job_id string, unit string, snapshot_id long, input_partition string,"
-            " rows_in long, rows_out long, ts double",
-        )
+        import pandas as pd
+
+        os.makedirs(self._lineage_dir(), exist_ok=True)
+        os.makedirs(self._metrics_dir(), exist_ok=True)
         # one file per unit, append-only -> atomic completion marker
-        lineage_row.coalesce(1).write.mode("append").parquet(self._lineage_dir())
-        metrics_row = self.spark.createDataFrame(
-            [(self.job_id, unit, float(wall_ms), int(part["rows"]), float(ts))],
-            "job_id string, unit string, wall_ms double, rows_in long, ts double",
+        _write_parquet(
+            pd.DataFrame(
+                {
+                    "job_id": [self.job_id],
+                    "unit": [unit],
+                    "snapshot_id": pd.array([int(snapshot_id)], dtype="int64"),
+                    "input_partition": [
+                        f"cell_bucket={part['cell_bucket']}/tbucket={part['tbucket']}"
+                    ],
+                    "rows_in": pd.array([int(part["rows"])], dtype="int64"),
+                    "rows_out": pd.array([int(out_rows)], dtype="int64"),
+                    "ts": [float(ts)],
+                }
+            ),
+            os.path.join(self._lineage_dir(), f"unit_{unit}.parquet"),
         )
-        metrics_row.coalesce(1).write.mode("append").parquet(self._metrics_dir())
+        _write_parquet(
+            pd.DataFrame(
+                {
+                    "job_id": [self.job_id],
+                    "unit": [unit],
+                    "wall_ms": [float(wall_ms)],
+                    "rows_in": pd.array([int(part["rows"])], dtype="int64"),
+                    "ts": [float(ts)],
+                }
+            ),
+            os.path.join(self._metrics_dir(), f"unit_{unit}.parquet"),
+        )
 
     def result(self) -> DataFrame:
         """Combine all unit partials (additive) into the final aggregate."""
