@@ -272,6 +272,25 @@ def _q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_output_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 under the gate: per-polygon counts written in the reference's
+    TSV format (raster_<endTime>_<eps>.csv, main.cpp:195-225) and read
+    BACK through spark.read.csv — the returned rows are what a consumer
+    of the written artifact sees, so the writer's ordering/format and
+    the reader round-trip are both hash-checked against the exact PIP
+    oracle."""
+    import tempfile
+
+    from raster_join_spark.fixtures import COARSE_GRID
+    from raster_join_spark.operators.output import write_poly_results
+
+    out = _sj(spark, COARSE_GRID).hybrid_join(_points(spark, sf_dir))
+    path = write_poly_results(
+        out, tempfile.mkdtemp(prefix="rjs_out_"), end_time=0, eps=0
+    )
+    return spark.read.csv(path, sep="\t", schema="poly_id long, agg long")
+
+
 _STREAM_SEQ = iter(range(1_000_000))
 
 
@@ -533,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_roundtrip": _q_storage_roundtrip,
         "streaming_window_poly": _q_streaming_window,
         "checkpoint_resume": _q_checkpoint_resume,
+        "output_roundtrip": _q_output_roundtrip,
         "knn": _q_knn,
         "spatial_hybrid_sum": _q_hybrid_sum,
         "radius_ellipse": _q_radius,
@@ -582,6 +602,7 @@ def oracle_sql() -> dict[str, str]:
         "storage_roundtrip": oracles.fullscan_sql(BOX, T0, T1),
         "streaming_window_poly": oracles.streaming_window_sql(),
         "checkpoint_resume": oracles.raster_count_sql(COARSE_GRID),
+        "output_roundtrip": oracles.index_count_sql(),
         "knn": oracles.knn_sql(),
         "spatial_hybrid_sum": oracles.sum_sql(),
         "radius_ellipse": oracles.radius_sql(RADIUS_RX, RADIUS_RY),
