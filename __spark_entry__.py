@@ -519,18 +519,26 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload -> pooled feature vector via
-    the deterministic FakeCodec (real codecs are deployment plug-ins).
-    The library API returns array<double>; the driver-facing query
-    projects hash-stable scalar columns f0..f7 (the driver's
-    canonicalizer cannot sort list cells)."""
+    """Multimodal decode + feature extraction under the exact gate: the
+    FakeCodec's decode (byte tiling) and pooling (_pool_rows' explicit
+    interpolation) are deterministic integer/IEEE arithmetic, so the SQL
+    twin reproduces the pooled features bit-for-bit; the driver query
+    projects them quantized to micro-units (f0..f7 BIGINT — the repo's
+    float-fold rule). Real codecs remain deployment plug-ins behind the
+    Codec seam; the gate checks the whole Spark-side plumbing."""
     from raster_join_spark.operators.multimodal import extract_features
     from raster_join_spark.sources.pages import pages_df
 
     pages = pages_df(spark, sf_dir)
     feats = extract_features(pages, payload_col="html", id_col="url")
     return feats.select(
-        "url", *[F.col("features")[i].alias(f"f{i}") for i in range(8)]
+        "url",
+        *[
+            F.floor(F.col("features")[i] * F.lit(1_000_000.0))
+            .cast("long")
+            .alias(f"f{i}")
+            for i in range(8)
+        ],
     )
 
 
@@ -627,5 +635,5 @@ def oracle_sql() -> dict[str, str]:
             n_planes=6, min_cos_x100=30, dim=64
         ),
         "media_meta": M.media_meta_sql(),
-        # media_features: codec-based -> not SQL-expressible; rows-only.
+        "media_features": M.media_features_sql(),
     }

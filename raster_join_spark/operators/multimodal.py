@@ -83,6 +83,75 @@ def attach_media_meta(df: DataFrame, payload_col: str = "html", codec: Codec | N
     return df.withColumn("media_meta", _meta(F.col(payload_col)))
 
 
+def _pool_rows(img: np.ndarray, n_features: int) -> np.ndarray:
+    """Row-means resampled to n_features by linear interpolation with an
+    explicit, engine-portable op order: for feature j over an h-row
+    image, num = j*(h-1); idx = num // (n_features-1); rem = num %
+    (n_features-1); f = m[idx] + (rem/(n-1)) * (m[idx+1] - m[idx])
+    (f = m[idx] exactly when rem == 0). Every operation is a basic IEEE
+    op on deterministic inputs, so the generated SQL twin matches
+    bit-for-bit."""
+    h = img.shape[0]
+    w = img.shape[1]
+    # integer row sums are exact in float64 (<= 32*255); ONE division
+    m = img.sum(axis=1, dtype=np.int64).astype(np.float64) / float(w)
+    d = n_features - 1
+    out = np.empty(n_features, np.float64)
+    for j in range(n_features):
+        num = j * (h - 1)
+        idx, rem = divmod(num, d)
+        if rem == 0:
+            out[j] = m[idx]
+        else:
+            out[j] = m[idx] + (float(rem) / float(d)) * (m[idx + 1] - m[idx])
+    return out
+
+
+def media_features_sql(n_features: int = 8) -> str:
+    """DuckDB twin of extract_features over the pages fixture: the
+    FakeCodec's decode is byte tiling (element (r,c) = payload[(r*w+c)
+    mod nb]) and the pooling is the explicit interpolation of
+    _pool_rows — all integer arithmetic plus the same IEEE divisions and
+    one fused slope term per feature, quantized to micro-units for the
+    gate. The html payload is ASCII by construction, so byte == unicode
+    codepoint of the VARCHAR."""
+    from raster_join_spark.sources.pages import PAGES_CTE
+
+    d = n_features - 1
+    feats = []
+    for j in range(n_features):
+        # num/idx/rem depend on the per-row h: compute in SQL
+        num = f"({j} * (h - 1))"
+        idx = f"({num} // {d})"
+        rem = f"({num} % {d})"
+        fj = (
+            f"CASE WHEN {rem} = 0 THEN m[{idx} + 1] "
+            f"ELSE m[{idx} + 1] + (CAST({rem} AS DOUBLE) / {float(d)!r}) * (m[{idx} + 2] - m[{idx} + 1]) END"
+        )
+        feats.append(f"CAST(floor(({fj}) * 1000000.0) AS BIGINT) AS f{j}")
+    fsel = ",\n  ".join(feats)
+    return f"""
+WITH {PAGES_CTE},
+b AS (
+  SELECT url, concat('<html><body>', text, '</body></html>') AS s,
+         octet_length(encode(concat('<html><body>', text, '</body></html>'))) AS nb
+  FROM pages
+),
+dims AS (SELECT url, s, nb, 16 + nb % 17 AS w, 16 + nb % 13 AS h FROM b),
+means AS (
+  SELECT url, h,
+    list_transform(range(0, h), r ->
+      CAST(list_sum(list_transform(range(0, w), c ->
+        unicode(substr(s, ((r * w + c) % nb) + 1, 1)))) AS DOUBLE) / CAST(w AS DOUBLE)
+    ) AS m
+  FROM dims
+)
+SELECT url,
+  {fsel}
+FROM means
+"""
+
+
 def media_meta_sql() -> str:
     """DuckDB twin of attach_media_meta over the pages fixture: the
     FakeCodec's meta is pure integer arithmetic on the payload byte
@@ -151,15 +220,17 @@ def extract_features(
                 feats = []
                 for i, payload in zip(chunk[id_col], chunk[payload_col]):
                     img = codec.decode(bytes(payload))
-                    # pooled row-means resampled to n_features — a stand-in
-                    # for a real embedding; deterministic
-                    pooled = np.interp(
-                        np.linspace(0, 1, n_features),
-                        np.linspace(0, 1, img.shape[0]),
-                        img.mean(axis=1),
-                    )
+                    # pooled row-means linearly resampled to n_features —
+                    # a stand-in for a real embedding. The arithmetic is
+                    # EXPLICIT (not np.interp) so the op order is fixed
+                    # and the DuckDB twin (media_features_sql) reproduces
+                    # it bit-for-bit: integer row sums (exact in float64
+                    # — partials bounded by 32*255), one division by w,
+                    # then idx/rem integer resampling with a single
+                    # fused slope term per feature.
+                    pooled = _pool_rows(img, n_features)
                     ids.append(i)
-                    feats.append(pooled.astype(np.float64))
+                    feats.append(pooled)
                 yield pd.DataFrame({id_col: ids, "features": feats})
 
     pruned = df.select(id_col, payload_col)
