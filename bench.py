@@ -254,6 +254,7 @@ def run_scaling(sf_dir: str) -> dict:
         "round_efficiencies": round_effs,
         "round_efficiencies_hybrid": hybrid_effs,
         "round_loads_after": loads,
+        "hybrid_docs": results[0]["hybrid_docs"],
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # persist every attempt; report the best window observed so far (the
@@ -274,11 +275,18 @@ def run_scaling(sf_dir: str) -> dict:
     hist = [json.loads(line) for line in open(hist_path)]
     raster_rounds: list[float] = []
     hybrid_rounds: list[float] = []
+    raster_by_docs: dict[int, list[float]] = {}
+    hybrid_by_docs: dict[int, list[float]] = {}
     for r in hist:
-        raster_rounds += [e for e in r.get("round_efficiencies", []) if _sound(e)]
-        hybrid_rounds += [
-            e for e in r.get("round_efficiencies_hybrid", []) if _sound(e)
-        ]
+        effs = [e for e in r.get("round_efficiencies", []) if _sound(e)]
+        raster_rounds += effs
+        raster_by_docs.setdefault(int(r.get("docs", 0)), []).extend(effs)
+        heffs = [e for e in r.get("round_efficiencies_hybrid", []) if _sound(e)]
+        hybrid_rounds += heffs
+        # older history lines predate the hybrid_docs field; the env
+        # convention always paired hybrid N = raster N / 10
+        hd = int(r.get("hybrid_docs") or int(r.get("docs", 0)) // 10)
+        hybrid_by_docs.setdefault(hd, []).extend(heffs)
 
     def _stats(vals: list[float]) -> dict:
         if not vals:
@@ -308,6 +316,15 @@ def run_scaling(sf_dir: str) -> dict:
     # rounds separately — the number representative of CURRENT code
     report["raster_recent_stats"] = _stats(raster_rounds[-15:])
     report["hybrid_recent_stats"] = _stats(hybrid_rounds[-15:])
+    # job-length stratification: short jobs are dominated by the fixed
+    # per-job cost (~1.3 s scheduler/barrier floor), which alone caps
+    # (T8/T32)/4 well below 1.0 — see the BASELINE.md section
+    report["raster_by_docs"] = {
+        str(k): _stats(v) for k, v in sorted(raster_by_docs.items())
+    }
+    report["hybrid_by_docs"] = {
+        str(k): _stats(v) for k, v in sorted(hybrid_by_docs.items())
+    }
     rs, hs = report["raster_rounds_stats"], report["hybrid_rounds_stats"]
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "w") as f:
@@ -334,6 +351,26 @@ def run_scaling(sf_dir: str) -> dict:
             "(recent-15 = the last 15 sound rounds, i.e. current code; the\n"
             "all-history hybrid median includes 13 rounds from BEFORE the\n"
             "round-2 Arrow feed fix, see BENCH/hybrid_rootcause.md.)\n\n"
+            "## Job-length sensitivity — the fixed-cost ceiling\n\n"
+            "Each Spark job pays a fixed floor (~1.3 s: scheduling barriers,\n"
+            "broadcast, stage setup) at BOTH levels. With job wall time T and\n"
+            "floor f, the attainable efficiency is ((T8-f)/4+f)/T32-ish: at 4B\n"
+            "rows (T32~10 s) that alone caps (T8/T32)/4 near 0.88 on a SILENT\n"
+            "host; at 8B rows the ceiling is ~0.93+. Longer jobs are also the\n"
+            "faithful model of the 100 TB workload (a production scan is hours,\n"
+            "not seconds), so per-size medians are reported:\n\n"
+            "| job | docs | best sound | median sound | n |\n|---|---|---|---|---|\n"
+            + "".join(
+                f"| raster | {k} | {v['best']} | {v['median']} | {v['n_sound']} |\n"
+                for k, v in report["raster_by_docs"].items()
+                if v["n_sound"]
+            )
+            + "".join(
+                f"| hybrid | {k} | {v['best']} | {v['median']} | {v['n_sound']} |\n"
+                for k, v in report["hybrid_by_docs"].items()
+                if v["n_sound"]
+            )
+            + "\n"
             f"This run:\n\n"
             f"| parallelism | raster wall sec (best A/B round) | raster docs/sec | hybrid wall sec | hybrid docs/sec |\n|---|---|---|---|---|\n"
             f"| local[8] (N) | {t8} | {results[0]['docs_per_sec']} | {results[0]['hybrid_sec']} | {results[0]['hybrid_docs_per_sec']} |\n"
