@@ -331,9 +331,9 @@ def run_scaling(sf_dir: str) -> dict:
         f.write(
             "# BENCH/BASELINE — throughput at two parallelism levels\n\n"
             "Headline job: the raster join (J1, the reference paper's title\n"
-            "operator; pure JVM) at 4B synthesized points; secondary job: the\n"
-            "accurate fused hybrid join (the flagship ACCURATE path) at 100M\n"
-            "points. local[8] stands in for an N-executor cluster and local[32]\n"
+            f"operator; pure JVM) at {results[0]['docs']} synthesized points; secondary job:\n"
+            f"the accurate fused hybrid join (the flagship ACCURATE path) at\n"
+            f"{results[0]['hybrid_docs']} points. local[8] stands in for an N-executor cluster and local[32]\n"
             "for 4N (same input, same code path, fresh JVM each), per the\n"
             "driver's sandbox instruction for the north_rule's two-cluster-size\n"
             "check. Each level is CPU-affinity-bound (taskset 8 vs 32 cores) so\n"
