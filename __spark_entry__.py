@@ -18,10 +18,37 @@ reproduced bit-for-bit by generated ANSI SQL (raster_join_spark/oracles).
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp whose tree is reclaimed at interpreter exit. The round-trip
+    gate queries return LAZY DataFrames that read from these dirs, so the
+    cleanup cannot run inline — atexit bounds /tmp growth to one process
+    lifetime (each driver-gate run is its own process)."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+# per-process cache of the events row count (the kNN density hint): the
+# bench and the driver gate both run several queries against one sf_dir,
+# and the count job was measured at ~4s cold at sf0.1 — pay it once.
+_EVENTS_COUNT_CACHE: dict[str, int] = {}
+
+
+def _events_count(spark: SparkSession, sf_dir: str) -> int:
+    n = _EVENTS_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        _EVENTS_COUNT_CACHE[sf_dir] = n
+    return n
 
 # query-box fixtures (exact integers in microdegree space)
 BOX = (-100_000_000.0, 30_000_000.0, -80_000_000.0, 45_000_000.0)
@@ -205,14 +232,12 @@ def _q_storage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact residual filter, count. Oracle = the same filter on the raw
     CTE, so a wrong write, a wrong manifest stat, or an over-eager prune
     all surface as a count mismatch."""
-    import tempfile
-
     from raster_join_spark.fixtures import COARSE_GRID
     from raster_join_spark.sources.tiles import TileStore
 
     pts = _points(spark, sf_dir)
     store = TileStore(
-        base_dir=tempfile.mkdtemp(prefix="rjs_tilestore_"),
+        base_dir=_tmpdir("rjs_tilestore_"),
         grid=COARSE_GRID,
         salt_threshold=500,  # low: forces the salted-writer path at sf0.01
     )
@@ -238,22 +263,20 @@ def _q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     uninterrupted run (plans/checkpoint.py). The unit function is the
     pure-JVM raster join so the gate cost stays in the checkpoint
     machinery, not per-unit python workers."""
-    import tempfile
-
     from raster_join_spark.fixtures import COARSE_GRID
     from raster_join_spark.plans.checkpoint import CheckpointedJob
     from raster_join_spark.sources.tiles import TileStore
 
     pts = _points(spark, sf_dir)
     store = TileStore(
-        base_dir=tempfile.mkdtemp(prefix="rjs_ckpt_store_"),
+        base_dir=_tmpdir("rjs_ckpt_store_"),
         grid=COARSE_GRID,
         n_buckets=2,  # bounded unit count at gate scale
     )
     store.write(pts, ts_now=0.0)
     sj = _sj(spark, COARSE_GRID)
     job = CheckpointedJob(
-        spark, store, tempfile.mkdtemp(prefix="rjs_ckpt_"), job_id="driver_gate"
+        spark, store, _tmpdir("rjs_ckpt_"), job_id="driver_gate"
     )
 
     def unit_fn(slice_df: DataFrame) -> DataFrame:
@@ -279,15 +302,11 @@ def _q_output_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the written artifact sees, so the writer's ordering/format and
     the reader round-trip are both hash-checked against the exact PIP
     oracle."""
-    import tempfile
-
     from raster_join_spark.fixtures import COARSE_GRID
     from raster_join_spark.operators.output import write_poly_results
 
     out = _sj(spark, COARSE_GRID).hybrid_join(_points(spark, sf_dir))
-    path = write_poly_results(
-        out, tempfile.mkdtemp(prefix="rjs_out_"), end_time=0, eps=0
-    )
+    path = write_poly_results(out, _tmpdir("rjs_out_"), end_time=0, eps=0)
     return spark.read.csv(path, sep="\t", schema="poly_id long, agg long")
 
 
@@ -303,8 +322,6 @@ def _q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same epoch-aligned window arithmetic + cover VALUES in DuckDB,
     so the streaming engine's windowing, stream-static broadcast join,
     and replay machinery are all hash-checked."""
-    import tempfile
-
     from raster_join_spark.fixtures import COARSE_GRID
     from raster_join_spark.streaming.windowed import (
         stream_points,
@@ -312,7 +329,7 @@ def _q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pts = _points(spark, sf_dir).select("url", "warc_ts", "x", "y")
-    src = tempfile.mkdtemp(prefix="rjs_stream_src_")
+    src = _tmpdir("rjs_stream_src_")
     pts.write.mode("overwrite").parquet(src)
     stream = stream_points(spark, src, spark.read.parquet(src).schema)
     agg = windowed_polygon_counts(
@@ -359,9 +376,10 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raster_join_spark.fixtures import COARSE_GRID, KNN_K, KNN_QUERIES
     from raster_join_spark.operators.knn import knn_join
 
-    # density hint from parquet metadata (pages are 1:1 with events), so
-    # the probe disk is sized without scanning the derived table
-    n_total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # density hint from the events table (pages are 1:1 with events), so
+    # the probe disk is sized without scanning the derived table; cached
+    # per sf_dir so bench/driver runs never pay the count job twice
+    n_total = _events_count(spark, sf_dir)
     out = knn_join(
         spark, _points(spark, sf_dir), COARSE_GRID, KNN_QUERIES, KNN_K, n_total=n_total
     )

@@ -71,7 +71,15 @@ class PolyGridTables:
         """Boundary (cell, poly) pairs as a fraction of all covered pairs
         — the driver-side (free, data-independent) estimate of the share
         of points that need the exact PIP kernel, assuming near-uniform
-        density per covered cell. Used by hybrid_join's plan auto-select."""
+        density per covered cell. Used by hybrid_join's plan auto-select.
+
+        CAVEAT: under skew the estimate can be badly off — e.g. the
+        fixture's NYC-style hot box puts 30% of points in a handful of
+        cells, so when hot cells happen to be boundary cells the true
+        PIP share far exceeds this pair-count ratio. Mis-estimation is
+        performance-only (both fused and split plans are exact; fused is
+        the safe fallback). Weighting by a per-cell point histogram would
+        fix it but costs a data scan this estimator exists to avoid."""
         nb = int((self.cls_kind == BOUNDARY).sum())
         return nb / max(len(self.cls_kind), 1)
 

@@ -94,7 +94,16 @@ US_BOUNDS = Bounds(24.396308, -124.848974, 49.384358, -66.885444)
 
 
 def geo2world_np(lat: np.ndarray, lon: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Utils.h:9-18: x=(lon+180)/360*256*2^22, y=(pi-atanh(sin(lat*pi/180)))/pi*128*2^22."""
+    """Utils.h:9-18: x=(lon+180)/360*256*2^22, y=(pi-atanh(sin(lat*pi/180)))/pi*128*2^22.
+
+    ACCURACY DOMAIN: sin/atanh are evaluated as the engine-portable
+    Horner polynomials (_SIN_C/_ATANH_C, shared verbatim with the SQL
+    oracle), tuned for the continental-US band: relative error ~1e-13
+    for |lat| <= 50, degrading to ~1e-8 at 60 deg and percent-level near
+    85 deg. The lat=+/-90 special cases only pin the exact poles; between
+    ~60 deg and the poles the series result is silently inaccurate — use
+    a transcendental Mercator (not this oracle-parity path) for
+    out-of-band latitudes."""
     lat = np.asarray(lat, dtype=np.float64)
     lon = np.asarray(lon, dtype=np.float64)
     x = (lon + 180.0) / 360.0 * 256.0 * _SCALE

@@ -273,6 +273,14 @@ def minhash_lsh_pairs(
     pattern). The hot-bucket set is found with a map-side-combined count
     (tiny: only buckets past the cap), so no full-input window shuffle
     ever runs on the skewed bucket key.
+
+    RECALL NOTE (changed round 3): hot buckets used to be CAPPED (keep
+    the first max_bucket members); they are now dropped whole, so a pair
+    whose ONLY colliding band lands in a boilerplate bucket loses its
+    candidacy. For near-dup dedup this is the standard trade (such pairs
+    still collide in other bands with probability rising in their true
+    similarity); audit recall with the hot-bucket count:
+    ``buckets.groupBy(keys).count().filter(count > max_bucket)``.
     """
     assert k % bands == 0
     r = k // bands

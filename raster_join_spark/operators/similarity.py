@@ -422,7 +422,15 @@ def embedding_neardup_pairs(
     bucket key), then an exact cosine filter on a bucket-equijoin —
     100% JVM unrolled expressions, reproduced bit-for-bit by
     embedding_neardup_sql. Returns (id_a, id_b, cos_u6) with the cosine
-    quantized to micro-units (the repo's float-fold quantization rule)."""
+    quantized to micro-units (the repo's float-fold quantization rule).
+
+    RECALL NOTE (changed round 3): hot buckets used to be capped, now
+    dropped whole — a near-dup pair whose single shared bucket is
+    boilerplate-hot loses candidacy (unlike minhash there is only ONE
+    band here, so the drop is unrecoverable for that pair). Raise
+    n_planes (finer buckets) or max_bucket if recall matters more than
+    the quadratic hot-bucket cost; audit dropped volume via the ``hot``
+    aggregate above."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)

@@ -48,10 +48,17 @@ def _write_parquet(pdf, path: str) -> None:
 
 @dataclass
 class CheckpointedJob:
+    """``unit_fn`` MUST return an ADDITIVE PARTIAL — a small aggregate
+    (<= a few thousand rows, e.g. one row per polygon), because each
+    unit's partial is collected onto the driver before the atomic-rename
+    write. A unit_fn that emits per-point rows would flood the driver;
+    ``max_unit_rows`` enforces the contract (fail fast instead of OOM)."""
+
     spark: SparkSession
     store: TileStore
     ckpt_dir: str
     job_id: str = "job"
+    max_unit_rows: int = 1_000_000
 
     # ---------------------------------------------------------- plumbing
 
@@ -133,8 +140,15 @@ class CheckpointedJob:
         # and the partial/lineage/metrics parquet files are written
         # driver-side — per-unit cost stays in the query, not in 4 extra
         # job barriers for row-count bookkeeping writes
-        pdf = unit_fn(slice_df).toPandas()
+        pdf = unit_fn(slice_df).limit(self.max_unit_rows + 1).toPandas()
         out_rows = len(pdf)
+        if out_rows > self.max_unit_rows:
+            raise ValueError(
+                f"unit {unit} produced > {self.max_unit_rows} rows — unit_fn "
+                "must return an additive PARTIAL (per-group aggregate), not "
+                "per-row output; raise max_unit_rows only if the partial is "
+                "genuinely that wide"
+            )
 
         tmp = self._unit_dir(unit, final=False)
         dst = self._unit_dir(unit, final=True)
