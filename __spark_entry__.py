@@ -88,9 +88,16 @@ def _q_index_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_hybrid_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coord_transfer="int": the engine's canonical coordinate space is
+    integer microdegrees (int32-exact), so the fused kernel's Arrow feed
+    ships 4-byte ints instead of 8-byte doubles — the bandwidth-dominant
+    term at full machine width (BENCH/hybrid_rootcause.md). The kernel
+    widens back to float64; this gate row proves bit-identical results."""
     from raster_join_spark.fixtures import COARSE_GRID
 
-    return _sj(spark, COARSE_GRID).hybrid_join(_points(spark, sf_dir))
+    return _sj(spark, COARSE_GRID).hybrid_join(
+        _points(spark, sf_dir), coord_transfer="int"
+    )
 
 
 def _q_hybrid_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,7 +366,8 @@ def _q_hybrid_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raster_join_spark.operators.spatial_join import AggSpec
 
     return _sj(spark, COARSE_GRID).hybrid_join(
-        _points(spark, sf_dir), AggSpec("sum", "value_c", "agg")
+        _points(spark, sf_dir), AggSpec("sum", "value_c", "agg"),
+        coord_transfer="int",
     )
 
 
@@ -382,6 +390,51 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = _events_count(spark, sf_dir)
     out = knn_join(
         spark, _points(spark, sf_dir), COARSE_GRID, KNN_QUERIES, KNN_K, n_total=n_total
+    )
+    return out.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("dist2").cast("long").alias("dist2"),
+    )
+
+
+def _q_hybrid_poly4096(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-count scale under the exact gate (round-3 verdict item 1;
+    the reference's second scaling axis, raster-polygons.ps1:22-27): the
+    ACCURATE fused hybrid join over 4096 polygons. The engine runs the
+    full generic machinery (classify 4096 polys x COARSE_GRID, CSR
+    broadcast, per-batch partial vectors of up to 4096 rows); the oracle
+    derives membership in closed form (fixtures.rect_polyset bounds are
+    integer+0.5, so ray-cast PIP == range test bit-for-bit) — a fully
+    independent check that never enumerates polygons."""
+    from raster_join_spark.fixtures import COARSE_GRID, rect_polyset
+    from raster_join_spark.operators.spatial_join import SpatialJoin
+
+    sj = SpatialJoin(spark, rect_polyset(), COARSE_GRID)
+    return sj.hybrid_join(_points(spark, sf_dir), coord_transfer="int")
+
+
+KNN_BULK_MOD = 10  # every 10th page is a query point (>=1000 at sf0.01)
+
+
+def _q_knn_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-oriented kNN (round-3 verdict item 5): the query side is a
+    TABLE (every 10th page), not a driver list — the training-pipeline
+    shape (spatial self-join / per-row probe, the reference's
+    getRegionPt called per point, CPUJoin/GridIndexF.cpp:177-198). All
+    per-query structure is DataFrame ops; results stay distributed."""
+    from raster_join_spark.fixtures import COARSE_GRID, KNN_K
+    from raster_join_spark.operators.knn import knn_join_bulk
+
+    pts = _points(spark, sf_dir)
+    qdf = pts.filter((F.col("event_id") % KNN_BULK_MOD) == 0).select(
+        F.col("event_id").alias("q_id"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+    )
+    out = knn_join_bulk(
+        spark, pts, COARSE_GRID, qdf, KNN_K, n_total=_events_count(spark, sf_dir)
     )
     return out.select(
         F.col("q_id").cast("long").alias("q_id"),
@@ -580,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": _q_checkpoint_resume,
         "output_roundtrip": _q_output_roundtrip,
         "knn": _q_knn,
+        "knn_bulk": _q_knn_bulk,
+        "spatial_hybrid_poly4096": _q_hybrid_poly4096,
         "spatial_hybrid_sum": _q_hybrid_sum,
         "radius_ellipse": _q_radius,
         "quadkey_assign": _q_quadkey_assign,
@@ -605,7 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from raster_join_spark import oracles
-    from raster_join_spark.fixtures import COARSE_GRID
+    from raster_join_spark.fixtures import COARSE_GRID, RECT_SIDE
     from raster_join_spark.operators import dedup as D
     from raster_join_spark.operators import multimodal as M
     from raster_join_spark.operators import similarity as S
@@ -630,6 +685,8 @@ def oracle_sql() -> dict[str, str]:
         "checkpoint_resume": oracles.raster_count_sql(COARSE_GRID),
         "output_roundtrip": oracles.index_count_sql(),
         "knn": oracles.knn_sql(),
+        "knn_bulk": oracles.knn_bulk_sql(modulus=KNN_BULK_MOD),
+        "spatial_hybrid_poly4096": oracles.rect_hybrid_count_sql(RECT_SIDE),
         "spatial_hybrid_sum": oracles.sum_sql(),
         "radius_ellipse": oracles.radius_sql(RADIUS_RX, RADIUS_RY),
         "quadkey_assign": oracles.quadkey_assign_sql(QK_ZOOM),

@@ -128,9 +128,14 @@ def _flagship_once(master: str, sf_dir: str) -> dict:
     t_raster = best_of(lambda: SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
                        .raster_join(synth_points(spark, n_raster, 256),
                                     include_zero=False).collect())
-    # secondary: the accurate fused hybrid join (Arrow kernel path)
+    # secondary: the accurate fused hybrid join (Arrow kernel path);
+    # coord_transfer="int" — coordinates are integer microdegrees (int32-
+    # exact), halving the Arrow feed bytes, the measured bandwidth-
+    # dominant term at full width (BENCH/hybrid_rootcause.md). The same
+    # option is exact-gated by the driver (spatial_hybrid_count/sum).
     t_hybrid = best_of(lambda: SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
-                       .hybrid_join(synth_points(spark, n_hybrid, 256)).collect())
+                       .hybrid_join(synth_points(spark, n_hybrid, 256),
+                                    coord_transfer="int").collect())
     try:
         load1 = float(open("/proc/loadavg").read().split()[0])
     except OSError:
@@ -419,32 +424,94 @@ def run_scaling(sf_dir: str) -> dict:
 def run_poly_sweep() -> dict:
     """Polygon-count scaling sweep, mirroring the reference's
     --polygonDataset 128..65536 experiment
-    (experiments/run-scripts/raster-polygons.ps1:22-27)."""
+    (experiments/run-scripts/raster-polygons.ps1:22-27, results
+    experiments/results-paper/scalability/taxi-ooc-polygons.txt).
+
+    Per polygon count, on the FIXED fine canvas (the reference holds the
+    canvas constant while polygons grow): classify-cells build wall time
+    (driver-side polygon rasterization), the broadcast artifact size the
+    fused kernel ships to every executor, and raster/hybrid join wall
+    time over the same synthesized points. Writes BENCH/poly_scaling.md.
+    """
+    import pickle
+
     from raster_join_spark.session import get_spark
     from raster_join_spark.sources.pages import synth_points
-    from raster_join_spark.geo.polygons import grid_polygons
-    from raster_join_spark.geo.grid import GridSpec
-    from raster_join_spark.fixtures import X0, X1, Y0, Y1
-    from raster_join_spark.operators.spatial_join import SpatialJoin
+    from raster_join_spark.geo.polygons import blob_polygons
+    from raster_join_spark.geo.classify import classify_cells
+    from raster_join_spark.fixtures import FINE_GRID, X0, X1, Y0, Y1
+    from raster_join_spark.operators.spatial_join import SpatialJoin, _cell_csr
 
     spark = get_spark(app_name="rjs-polys")
     n_pts = int(os.environ.get("SPARK_GRAFT_SWEEP_N", "20000000"))
+    counts = [
+        int(s)
+        for s in os.environ.get(
+            "SPARK_GRAFT_SWEEP_POLYS", "128,512,2048,8192,32768,65536"
+        ).split(",")
+    ]
+    grid = FINE_GRID
     out = {}
-    for n_polys in (128, 1024, 8192):
-        polyset = grid_polygons(
-            n_polys, X0, Y0, X1, Y1, jitter=0.2, seed=7, name=f"sweep{n_polys}"
+    pts = synth_points(spark, n_pts, 256)
+    for n_polys in counts:
+        polyset = blob_polygons(
+            n_polys, X0, Y0, X1, Y1, n_verts=8, seed=7, name=f"sweep{n_polys}"
         )
-        side = int(n_polys ** 0.5) * 4
-        grid = GridSpec.from_resolution(X0, Y0, X1, Y1, side, side)
+        t0 = time.perf_counter()
+        tables = classify_cells(grid, polyset)
+        t_classify = time.perf_counter() - t0
+        ic, ip = tables.interior_pairs()
+        bc, bp, _, _ = tables.boundary_pairs()
+        art = {
+            "interior": _cell_csr(ic, ip, grid.n_cells),
+            "boundary": _cell_csr(bc, bp, grid.n_cells),
+            "verts": polyset.verts,
+            "offsets": polyset.offsets,
+        }
+        bbytes = len(pickle.dumps(art, protocol=4))
         sj = SpatialJoin(spark, polyset, grid)
-        pts = synth_points(spark, n_pts, 256)
-        res = {}
+        res = {
+            "classify_sec": round(t_classify, 3),
+            "broadcast_mb": round(bbytes / 1e6, 2),
+            "pairs": int(len(tables.cls_kind)),
+            "boundary_pairs": int(len(bc)),
+        }
         for name, fn in (("raster", sj.raster_join), ("hybrid", sj.hybrid_join)):
             t0 = time.perf_counter()
             fn(pts, include_zero=False).collect()
             res[name] = round(time.perf_counter() - t0, 3)
         out[str(n_polys)] = res
-    return {"metric": "polygon-count scaling sweep", "n_points": n_pts, "sweep": out}
+    report = {
+        "metric": "polygon-count scaling sweep (fixed fine canvas)",
+        "n_points": n_pts,
+        "grid": f"{grid.nx}x{grid.ny}",
+        "sweep": out,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "poly_scaling.md"), "w") as f:
+        f.write(
+            "# Polygon-count scaling (reference's second axis)\n\n"
+            "Mirror of the reference's --polygonDataset 128..65536 sweep\n"
+            "(raster-polygons.ps1:22-27) on the fixed fine canvas "
+            f"({grid.nx}x{grid.ny} cells), {n_pts:,} points, local[32].\n"
+            "classify = driver-side polygon rasterization (batch-vectorized\n"
+            "classify_cells; the reference rebuilds its polygon index per\n"
+            "query on the GPU, GLFunction.cpp:65-156); broadcast = the CSR\n"
+            "artifact the fused kernel ships once per executor.\n\n"
+            "| polygons | classify s | broadcast MB | (cell,poly) pairs | "
+            "raster s | hybrid s |\n|---|---|---|---|---|---|\n"
+            + "".join(
+                f"| {k} | {v['classify_sec']} | {v['broadcast_mb']} | "
+                f"{v['pairs']} | {v['raster']} | {v['hybrid']} |\n"
+                for k, v in out.items()
+            )
+            + "\nNotes: pip_col (the unrolled all-JVM PIP expression) is\n"
+            "guarded at PIP_COL_MAX_POLYS=512 — above that the Arrow kernel\n"
+            "is the only exact path (and the faster one). The 4096-polygon\n"
+            "hybrid count runs under the driver's exact gate\n"
+            "(spatial_hybrid_poly4096, closed-form oracle).\n"
+        )
+    return report
 
 
 def run_attrib_sweep() -> dict:

@@ -60,6 +60,45 @@ def oracle_polyset() -> PolygonSet:
 
 ORACLE_POLYS = oracle_polyset()
 
+# ------------------------------------------ many-polygon scaling fixture
+
+# 64 x 64 = 4096 axis-aligned rectangles with half-unit-offset bounds:
+# slot sizes (57e6/64 = 890625, 24e6/64 = 375000) and insets are chosen
+# so every rect bound is an exact (integer + 0.5) float64 — no integer-
+# microdegree point and no cell center can ever lie ON an edge, which
+# makes the ray-cast PIP decision equal the closed-form range test
+# bit-for-bit (the oracle uses the closed form; the ENGINE still runs
+# the full generic classify/PIP machinery over all 4096 polygons — the
+# point of the fixture is a polygon-count scale test under the exact
+# gate, the reference's second scaling axis, raster-polygons.ps1:22-27).
+RECT_SIDE = 64
+RECT_INSET_X = 100_000.5
+RECT_INSET_Y = 50_000.5
+
+_RECT_CACHE: dict[int, PolygonSet] = {}
+
+
+def rect_polyset(side: int = RECT_SIDE) -> PolygonSet:
+    """side^2 inset rectangles tiling the US box, poly_id = i + side*j
+    (row-major, matching the oracle's closed-form id arithmetic)."""
+    ps = _RECT_CACHE.get(side)
+    if ps is not None:
+        return ps
+    sw = (X1 - X0) / side
+    sh = (Y1 - Y0) / side
+    polys = []
+    for j in range(side):
+        for i in range(side):
+            rx0 = X0 + i * sw + RECT_INSET_X
+            rx1 = X0 + (i + 1) * sw - RECT_INSET_X
+            ry0 = Y0 + j * sh + RECT_INSET_Y
+            ry1 = Y0 + (j + 1) * sh - RECT_INSET_Y
+            polys.append([(rx0, ry0), (rx1, ry0), (rx1, ry1), (rx0, ry1)])
+    ps = PolygonSet.from_list(polys, name=f"rect{side * side}")
+    _RECT_CACHE[side] = ps
+    return ps
+
+
 # kNN query points (exact integers, inside the box; q2 in the hot cluster)
 KNN_QUERIES: list[tuple[int, float, float]] = [
     (0, -118_000_000.0, 34_000_000.0),

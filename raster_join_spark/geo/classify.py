@@ -113,10 +113,18 @@ def _segments_intersect_rect(
     return ok & (t0 <= t1)
 
 
-def classify_cells(
+def classify_cells_ref(
     grid: GridSpec, polyset: PolygonSet, dtype=np.float64
 ) -> PolyGridTables:
-    """Classify every MBR-covered cell of every polygon.
+    """Classify every MBR-covered cell of every polygon — REFERENCE
+    implementation (per-polygon loop; the readable spec). The production
+    path is :func:`classify_cells` below, a batch-vectorized rewrite that
+    removes the per-polygon and per-boundary-cell Python loops (65,536
+    polygons: minutes -> seconds; see BENCH/poly_scaling.md); its output
+    is equivalence-tested against this function. This loop form remains
+    the implementation for dtype=float32 (the reference-parity precision
+    mode), whose mixed float32/float64 promotion sequence the batched
+    form does not reproduce bit-for-bit.
 
     For each polygon (vectorized over its covered cells):
       1. candidate: cell is in the MBR cover range (create-index.glsl:34-68)
@@ -266,6 +274,259 @@ def _clip_area_fraction(
     area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
     cell_area = (rtx - lbx) * (rty - lby)
     return float(min(max(area / cell_area, 0.0), 1.0))
+
+
+def _poly_mbrs_vec(polyset: PolygonSet) -> np.ndarray:
+    """Vectorized per-polygon MBRs (the PolygonSet.mbrs property loops in
+    Python — noticeable at 65k polygons)."""
+    offs = polyset.offsets
+    nv = np.diff(offs)
+    if len(nv) == 0 or np.any(nv == 0):
+        return polyset.mbrs  # degenerate layouts: use the loop form
+    v = polyset.verts
+    seg = offs[:-1]
+    return np.stack(
+        [
+            np.minimum.reduceat(v[:, 0], seg),
+            np.minimum.reduceat(v[:, 1], seg),
+            np.maximum.reduceat(v[:, 0], seg),
+            np.maximum.reduceat(v[:, 1], seg),
+        ],
+        axis=1,
+    )
+
+
+def _clip_area_fraction_batch(
+    vd: np.ndarray,
+    base: np.ndarray,
+    nv: int,
+    lbx: np.ndarray,
+    lby: np.ndarray,
+    rtx: np.ndarray,
+    rty: np.ndarray,
+) -> np.ndarray:
+    """Vectorized Sutherland–Hodgman over MANY (polygon, cell-rect) pairs
+    that share one vertex count ``nv``: pair i clips polygon
+    vd[base[i] : base[i]+nv] against rect i. Padded representation —
+    vertices live in slots 0..m_i-1 of a (C, M, 2) buffer; each of the 4
+    half-plane stages appends via masked scatter. Capacity M = nv + 8
+    (each stage nets <= +2 for the star-convex fixtures); the rare pair
+    that would overflow (pathological concavity crossing one clip line
+    >2 times) falls back to the scalar reference clip. Arithmetic is the
+    same float64 expression sequence as _clip_area_fraction, so results
+    agree to the last ulp except where summation order differs in the
+    final shoelace fold (tolerance-tested)."""
+    C = len(lbx)
+    M = nv + 8
+    P = np.zeros((C, M, 2), dtype=np.float64)
+    idx = base[:, None] + np.arange(nv)[None, :]
+    P[:, :nv, 0] = vd[idx, 0]
+    P[:, :nv, 1] = vd[idx, 1]
+    m = np.full(C, nv, dtype=np.int64)
+    overflow = np.zeros(C, dtype=bool)
+    rows = np.arange(C)
+
+    for edge in range(4):
+        if edge == 0:
+            bound, axis, keep_ge = lbx, 0, True
+        elif edge == 1:
+            bound, axis, keep_ge = rtx, 0, False
+        elif edge == 2:
+            bound, axis, keep_ge = lby, 1, True
+        else:
+            bound, axis, keep_ge = rty, 1, False
+        out = np.zeros_like(P)
+        out_m = np.zeros(C, dtype=np.int64)
+        mmax = int(m.max()) if C else 0
+        for i in range(mmax):
+            act = (i < m) & ~overflow
+            if not act.any():
+                continue
+            prv_i = np.where(i == 0, m - 1, i - 1)
+            cur = P[rows, np.minimum(i, M - 1)]
+            prv = P[rows, np.minimum(prv_i, M - 1)]
+            if keep_ge:
+                cur_in = cur[:, axis] >= bound
+                prv_in = prv[:, axis] >= bound
+            else:
+                cur_in = cur[:, axis] <= bound
+                prv_in = prv[:, axis] <= bound
+            # intersection vertex first (same order as the scalar clip)
+            cross = act & (cur_in != prv_in)
+            if cross.any():
+                # t/ins are computed whole-array (inf/nan where cross is
+                # False and the edge is degenerate) but consumed only on
+                # cross rows, where the denominator is nonzero
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = (bound - prv[:, axis]) / (cur[:, axis] - prv[:, axis])
+                    ins = prv + t[:, None] * (cur - prv)
+                pos = out_m[cross]
+                ok = pos < M
+                w = np.flatnonzero(cross)
+                overflow[w[~ok]] = True
+                w = w[ok]
+                out[w, pos[ok]] = ins[w]
+                out_m[w] += 1
+            emit = act & cur_in
+            if emit.any():
+                pos = out_m[emit]
+                ok = pos < M
+                w = np.flatnonzero(emit)
+                overflow[w[~ok]] = True
+                w = w[ok]
+                out[w, pos[ok]] = cur[w]
+                out_m[w] += 1
+        P, m = out, out_m
+
+    # shoelace over the padded rings
+    slot = np.arange(M)[None, :]
+    valid = slot < m[:, None]
+    nxt = slot + 1
+    nxt = np.where(nxt >= m[:, None], 0, nxt)
+    x = P[:, :, 0]
+    y = P[:, :, 1]
+    xn = np.take_along_axis(x, nxt, axis=1)
+    yn = np.take_along_axis(y, nxt, axis=1)
+    terms = np.where(valid, x * yn - y * xn, 0.0)
+    area = 0.5 * np.abs(terms.sum(axis=1))
+    cell_area = (rtx - lbx) * (rty - lby)
+    frac = np.clip(area / cell_area, 0.0, 1.0)
+    frac = np.where(m < 3, 0.0, frac)
+    if overflow.any():
+        for i in np.flatnonzero(overflow):
+            pv = vd[base[i] : base[i] + nv]
+            frac[i] = _clip_area_fraction(
+                pv, float(lbx[i]), float(lby[i]), float(rtx[i]), float(rty[i])
+            )
+    return frac
+
+
+def classify_cells(
+    grid: GridSpec, polyset: PolygonSet, dtype=np.float64
+) -> PolyGridTables:
+    """Batch-vectorized cell classification — same semantics as
+    :func:`classify_cells_ref` (the readable per-polygon spec; see its
+    docstring for the rules), restructured for LARGE polygon collections:
+    all (polygon, covered-cell) pairs are materialized as flat arrays and
+    every geometric test (center PIP, vertex-in-rect, Liang–Barsky edge
+    crossing, Sutherland–Hodgman area fraction) runs as a handful of
+    whole-array passes per distinct vertex count, instead of per-polygon
+    (and per-boundary-cell) Python iterations. 65,536 polygons x
+    FINE_GRID classify in seconds (BENCH/poly_scaling.md); equivalence
+    vs the reference form is test-enforced (tests/test_geometry.py).
+
+    dtype=float32 (the reference-precision parity mode) delegates to the
+    loop form, whose exact float32/float64 promotion sequence this
+    rewrite intentionally does not replicate.
+    """
+    if np.dtype(dtype) != np.float64:
+        return classify_cells_ref(grid, polyset, dtype=dtype)
+    nP = polyset.n_polys
+    empty = PolyGridTables(
+        *(np.empty(0, dt) for dt in (np.int64,) * 2),
+        cls_cell=np.empty(0, np.int64),
+        cls_poly=np.empty(0, np.int64),
+        cls_kind=np.empty(0, np.int32),
+        cls_frac=np.empty(0, np.float64),
+        cls_center_in=np.empty(0, np.bool_),
+        cand_cell=np.empty(0, np.int64),
+        cand_poly=np.empty(0, np.int64),
+    )
+    if nP == 0:
+        return empty
+    offs = polyset.offsets
+    nv_per = np.diff(offs)
+    mbrs = _poly_mbrs_vec(polyset)
+    # cover ranges per polygon (grid.mbr_cell_range, vectorized)
+    stx = np.maximum(np.floor((mbrs[:, 0] - grid.x0) / grid.cell_w), 0).astype(np.int64)
+    sty = np.maximum(np.floor((mbrs[:, 1] - grid.y0) / grid.cell_h), 0).astype(np.int64)
+    enx = np.minimum(
+        np.floor((mbrs[:, 2] - grid.x0) / grid.cell_w) + 1, grid.nx
+    ).astype(np.int64)
+    eny = np.minimum(
+        np.floor((mbrs[:, 3] - grid.y0) / grid.cell_h) + 1, grid.ny
+    ).astype(np.int64)
+    valid = (nv_per >= 3) & (stx < enx) & (sty < eny)
+    pids = np.flatnonzero(valid)
+    if len(pids) == 0:
+        return empty
+    wx = enx[pids] - stx[pids]
+    cnt = wx * (eny[pids] - sty[pids])
+    tot = int(cnt.sum())
+    pair_poly = np.repeat(pids, cnt)
+    excl = np.cumsum(cnt) - cnt
+    t_loc = np.arange(tot, dtype=np.int64) - np.repeat(excl, cnt)
+    wx_pp = np.repeat(wx, cnt)
+    gx = stx[pair_poly] + t_loc % wx_pp
+    gy = sty[pair_poly] + t_loc // wx_pp
+    cells = gx + grid.nx * gy
+    lbx = grid.x0 + gx.astype(np.float64) * grid.cell_w
+    lby = grid.y0 + gy.astype(np.float64) * grid.cell_h
+    rtx = lbx + grid.cell_w
+    rty = lby + grid.cell_h
+    ccx = lbx + 0.5 * grid.cell_w
+    ccy = lby + 0.5 * grid.cell_h
+
+    vd = polyset.verts.astype(np.float64)
+    base = offs[pair_poly].astype(np.int64)
+    nv_pp = nv_per[pair_poly]
+
+    center_in = np.zeros(tot, dtype=bool)
+    vert_in = np.zeros(tot, dtype=bool)
+    edge_hit = np.zeros(tot, dtype=bool)
+    frac = np.zeros(tot, dtype=np.float64)
+
+    CHUNK = 1 << 18
+    for nv in np.unique(nv_pp):
+        nv = int(nv)
+        sel_all = np.flatnonzero(nv_pp == nv)
+        for s0 in range(0, len(sel_all), CHUNK):
+            sel = sel_all[s0 : s0 + CHUNK]
+            b = base[sel]
+            lx, ly, rx, ry = lbx[sel], lby[sel], rtx[sel], rty[sel]
+            cx, cy = ccx[sel], ccy[sel]
+            # center PIP (same per-edge expression as pip_mask)
+            c = np.zeros(len(sel), dtype=bool)
+            vin = np.zeros(len(sel), dtype=bool)
+            ehit = np.zeros(len(sel), dtype=bool)
+            j = nv - 1
+            for i in range(nv):
+                vix, viy = vd[b + i, 0], vd[b + i, 1]
+                vjx, vjy = vd[b + j, 0], vd[b + j, 1]
+                j = i
+                straddle = (viy > cy) != (vjy > cy)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xcross = (vjx - vix) * (cy - viy) / (vjy - viy) + vix
+                c ^= straddle & (cx < xcross)
+                vin |= (vix >= lx) & (vix <= rx) & (viy >= ly) & (viy <= ry)
+                i2 = 0 if i == nv - 1 else i + 1
+                ehit |= _segments_intersect_rect(
+                    vix, viy, vd[b + i2, 0], vd[b + i2, 1], lx, ly, rx, ry
+                )
+            center_in[sel] = c
+            vert_in[sel] = vin
+            edge_hit[sel] = ehit
+            bmask = vin | ehit
+            bs = sel[bmask]
+            if len(bs):
+                frac[bs] = _clip_area_fraction_batch(
+                    vd, base[bs], nv, lbx[bs], lby[bs], rtx[bs], rty[bs]
+                )
+
+    boundary = vert_in | edge_hit
+    interior = ~boundary & center_in
+    keep = boundary | interior
+    return PolyGridTables(
+        cover_cell=cells[center_in],
+        cover_poly=pair_poly[center_in],
+        cls_cell=cells[keep],
+        cls_poly=pair_poly[keep],
+        cls_kind=np.where(boundary[keep], BOUNDARY, INTERIOR).astype(np.int32),
+        cls_frac=np.where(boundary[keep], frac[keep], 1.0),
+        cls_center_in=center_in[keep],
+        cand_cell=cells,
+        cand_poly=pair_poly,
+    )
 
 
 class PolyGridCache:

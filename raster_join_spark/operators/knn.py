@@ -7,18 +7,31 @@ full operator: grow the ring until the k-th candidate's distance is
 certified complete.
 
 Spark plan per round r:
-  1. driver enumerates the disk of cells within Chebyshev radius r of each
-     query point (tiny literal table, broadcast)
+  1. driver enumerates ONLY the new ANNULUS of cells (Chebyshev radius
+     r_prev+1 .. r) per pending query — never the full disk again (the
+     round-3 worst case: re-enumerating the whole disk grows O(r^2) per
+     round and explodes on fine grids). The literal table stays tiny and
+     is broadcast.
   2. broadcast hash join against the points on cell_id — the big side
      never shuffles
   3. candidates are reduced to per-query top-k IN THE PLAN
      (groupBy(q_id).agg(slice(array_sort(collect_list(struct(dist2, id))),
      1, k)) — map-side combined, no window exchange), so the per-round
      collect is exactly |pending| rows of k structs, INDEPENDENT of
-     point density; certification happens driver-side: a query is done
-     when kth_dist <= (r * cell_min)^2 — any point in an unvisited cell
-     is at least r*cell_min away, so its top-k is exact.
-  4. certified rows accumulate on the driver; the final result is a
+     point density; the driver then MERGES each round's annulus top-k
+     into the per-query running top-k (annuli are disjoint by cell, so
+     the merge never double-counts a point). Certification: a query is
+     done when the merged kth_dist <= (r * cell_min)^2 — any point in an
+     unvisited cell is at least r*cell_min away, so its top-k is exact.
+  4. EXHAUSTIVE FALLBACK: when the next annulus would need more than
+     ``literal_cap`` literal cells (sparse data on a fine grid), or the
+     annuli hit max_radius with queries still uncertified, the remaining
+     queries are resolved by ONE job that broadcasts the pending query
+     coords against ALL (in-grid) points — no cell table at all; its
+     per-query top-k is globally exact by construction and REPLACES the
+     merged state (a full scan is the right plan exactly when the disk
+     would have covered most of the grid anyway).
+  5. certified rows accumulate on the driver; the final result is a
      literal DataFrame (inherently q x k rows — never big), so no plan
      is ever re-executed after its round ran.
 
@@ -65,6 +78,8 @@ def knn_join(
     id_col: str = "event_id",
     max_radius: int | None = None,
     n_total: int | None = None,
+    literal_cap: int = 65_536,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Exact k nearest points per query point. Returns
     (q_id, {id_col}, rank, dist2) with rank 1..k ordered by
@@ -76,6 +91,15 @@ def knn_join(
     output grow linearly with density (pass an explicit value to skip
     the count when the caller already knows it). Certification never
     depends on the starting radius, only round count does.
+
+    ``literal_cap`` bounds the driver-built annulus cell table: when the
+    next annulus would exceed it (sparse data / fine grid), remaining
+    queries switch to the exhaustive broadcast-against-all-points plan —
+    still exact, and no literal DataFrame bigger than the cap is ever
+    built regardless of grid resolution. ``max_radius`` likewise only
+    bounds annulus expansion, not correctness. ``stats`` (optional dict)
+    receives {"rounds", "max_literal_rows", "exhaustive"} — used by the
+    scale-regression tests.
     """
     if max_radius is None:
         max_radius = max(grid.nx, grid.ny)
@@ -84,6 +108,9 @@ def knn_join(
     pts = points.withColumn("cell_id", grid.cell_id_col(F.col(x), F.col(y))).filter(
         F.col("cell_id").isNotNull()
     )
+    if stats is None:
+        stats = {}
+    stats.update({"rounds": 0, "max_literal_rows": 0, "exhaustive": False})
     cached = False
     try:
         # initial radius: size the first probe disk for ~64k expected
@@ -105,82 +132,121 @@ def knn_join(
         qyp = {q: int((qy - grid.y0) // grid.cell_h) for q, _, qy in queries}
         qpos = {q: (qx, qy) for q, qx, qy in queries}
         pending = {q for q, _, _ in queries}
+        # merged running top-k per query across rounds: (dist2, id)
+        # tuples, truncated to k — annuli are cell-disjoint, so simple
+        # list-merge never sees the same point twice
+        best: dict[int, list[tuple[float, object]]] = {q: [] for q in pending}
 
+        def _certify(q: int, r_probed: int) -> bool:
+            rs = best[q]
+            return len(rs) >= k and rs[k - 1][0] <= (r_probed * cell_min) ** 2
+
+        def _emit(q: int) -> None:
+            final_rows.extend(
+                (q, pid, rank + 1, d2) for rank, (d2, pid) in enumerate(best[q][:k])
+            )
+
+        r_prev = -1  # all cells with Chebyshev distance <= r_prev probed
         r = r_init
         next_step = 1
-        rounds = 0
         final_rows: list[tuple] = []
         id_type = pts.schema[id_col].dataType
-        while pending and r <= max_radius:
-            rounds += 1
-            if rounds == 2 and not cached:
+        q_schema = T.StructType(
+            [
+                T.StructField("q_id", T.LongType(), False),
+                T.StructField("cell_id", T.LongType(), False),
+                T.StructField("qx", T.DoubleType(), False),
+                T.StructField("qy", T.DoubleType(), False),
+            ]
+        )
+        dist2_col = (
+            (F.col(x) - F.col("qx")) * (F.col(x) - F.col("qx"))
+            + (F.col(y) - F.col("qy")) * (F.col(y) - F.col("qy"))
+        ).alias("dist2")
+        while pending:
+            r = min(r, max_radius)
+            # worst-case (unclamped) literal size of the next annulus;
+            # conservative near grid edges, which only switches to the
+            # exhaustive plan a round early
+            prev_cells = (2 * r_prev + 1) ** 2 if r_prev >= 0 else 0
+            est_rows = len(pending) * ((2 * r + 1) ** 2 - prev_cells)
+            if r_prev >= max_radius or est_rows > literal_cap:
+                # EXHAUSTIVE: broadcast pending query coords against all
+                # in-grid points — no cell table; globally exact, so it
+                # REPLACES the merged state for these queries
+                stats["exhaustive"] = True
+                stats["rounds"] += 1
+                qlit = spark.createDataFrame(
+                    [(q, -1, qpos[q][0], qpos[q][1]) for q in sorted(pending)],
+                    q_schema,
+                ).drop("cell_id")
+                cand = pts.crossJoin(F.broadcast(qlit)).select(
+                    "q_id", F.col(id_col), dist2_col
+                )
+                by_q = {
+                    row["q_id"]: row["top"]
+                    for row in _round_topk(cand, id_col, k).collect()
+                }
+                for q in list(pending):
+                    best[q] = [(t["dist2"], t["_id"]) for t in by_q.get(q, [])]
+                    _emit(q)
+                    pending.discard(q)
+                break
+            stats["rounds"] += 1
+            if stats["rounds"] == 2 and not cached:
                 # first round didn't certify everything: later rounds
-                # re-probe the same points, so cache them now (lazily —
-                # the certify-in-one-round case never pays for it)
+                # re-probe the same input, so cache it now (lazily — the
+                # certify-in-one-round case never pays for it)
                 pts = pts.persist()
                 cached = True
-            # disk of cells within Chebyshev radius r for each pending
-            # query, with the query coords inlined — ONE broadcast join
-            # resolves both the probe and the distance inputs
+            # literal table: ONLY the new annulus r_prev+1 .. r per
+            # pending query, with query coords inlined — one broadcast
+            # join resolves both the probe and the distance inputs
             rows = []
             for q in pending:
                 qx_, qy_ = qpos[q]
-                for rr in range(r + 1):
+                for rr in range(r_prev + 1, r + 1):
                     for c in grid.ring_cells(qxp[q], qyp[q], rr):
                         rows.append((q, c, qx_, qy_))
-            if not rows:
-                r += 1
-                continue
-            cand_cells = spark.createDataFrame(
-                rows,
-                T.StructType(
-                    [
-                        T.StructField("q_id", T.LongType(), False),
-                        T.StructField("cell_id", T.LongType(), False),
-                        T.StructField("qx", T.DoubleType(), False),
-                        T.StructField("qy", T.DoubleType(), False),
-                    ]
-                ),
-            )
-            cand = pts.join(F.broadcast(cand_cells), "cell_id", "inner").select(
-                "q_id",
-                F.col(id_col),
-                (
-                    (F.col(x) - F.col("qx")) * (F.col(x) - F.col("qx"))
-                    + (F.col(y) - F.col("qy")) * (F.col(y) - F.col("qy"))
-                ).alias("dist2"),
-            )
-            # ONE job per round: the plan reduces candidates to per-query
-            # top-k (struct-array sort + slice, map-side combined), so
-            # the collect is exactly |pending| rows of k structs each —
-            # O(|queries| * k) driver bytes at ANY point density; the
-            # certification decision stays driver-side and nothing is
-            # ever re-executed
-            by_q = {row["q_id"]: row["top"] for row in _round_topk(cand, id_col, k).collect()}
-            exhausted = r >= max_radius  # grid exhausted: all cells seen
-            for q in list(pending):
-                rs = by_q.get(q, [])
-                kth = rs[-1]["dist2"] if rs else None
-                if exhausted or (
-                    len(rs) >= k and kth is not None and kth <= (r * cell_min) ** 2
-                ):
-                    final_rows.extend(
-                        (q, row["_id"], rank + 1, row["dist2"])
-                        for rank, row in enumerate(rs)
-                    )
-                    pending.discard(q)
-            # exponential ring growth (4x: rounds are the expensive unit,
-            # candidates are cheap): sparse regions certify in O(log r)
-            # driver rounds instead of O(r); compute the step FIRST and
-            # clamp on it, so the final exhaustive certify-all round at
-            # exactly max_radius always runs (a clamp on next_step alone
-            # can overshoot when r > next_step and 2r > max_radius,
-            # silently dropping uncertified queries)
-            step = max(next_step, r)  # at least double the radius
-            if r < max_radius and r + step > max_radius:
-                r = max_radius
+            stats["max_literal_rows"] = max(stats["max_literal_rows"], len(rows))
+            if rows:
+                cand_cells = spark.createDataFrame(rows, q_schema)
+                cand = pts.join(F.broadcast(cand_cells), "cell_id", "inner").select(
+                    "q_id", F.col(id_col), dist2_col
+                )
+                # ONE job per round: the plan reduces candidates to
+                # per-query top-k (struct-array sort + slice, map-side
+                # combined), so the collect is exactly |pending| rows of
+                # k structs each — O(|queries| * k) driver bytes at ANY
+                # point density; merge + certification stay driver-side
+                # and nothing is ever re-executed
+                by_q = {
+                    row["q_id"]: row["top"]
+                    for row in _round_topk(cand, id_col, k).collect()
+                }
+                for q in list(pending):
+                    new = by_q.get(q)
+                    if new:
+                        best[q] = sorted(
+                            best[q] + [(t["dist2"], t["_id"]) for t in new]
+                        )[:k]
+                    if _certify(q, r):
+                        _emit(q)
+                        pending.discard(q)
             else:
-                r += step
+                # annulus fully outside the grid for every pending query
+                for q in list(pending):
+                    if _certify(q, r):
+                        _emit(q)
+                        pending.discard(q)
+            # exponential ring growth (4x: rounds are the expensive
+            # unit, candidates are cheap): sparse regions certify in
+            # O(log r) driver rounds instead of O(r); overshoot is safe
+            # because the exhaustive fallback — not a final giant-disk
+            # enumeration — now closes out any stragglers
+            r_prev = r
+            step = max(next_step, r)  # at least double the radius
+            r = r + step
             next_step = min(next_step * 4, max(grid.nx, grid.ny) // 4 + 1)
         assert not pending, f"uncertified kNN queries left: {sorted(pending)}"
         assert final_rows, "no kNN results produced"
@@ -196,6 +262,167 @@ def knn_join(
     finally:
         if cached:
             pts.unpersist()
+
+
+def knn_join_bulk(
+    spark: SparkSession,
+    points: DataFrame,
+    grid: GridSpec,
+    queries: DataFrame,
+    k: int,
+    x: str = "x",
+    y: str = "y",
+    id_col: str = "event_id",
+    n_total: int | None = None,
+    max_cells_per_query: int = 4096,
+    max_rounds: int = 6,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Set-oriented exact kNN: ``queries`` is a DataFrame (q_id, qx, qy)
+    — the training-pipeline shape (kNN of a whole table of query points;
+    the reference's getRegionPt probe, CPUJoin/GridIndexF.cpp:177-198,
+    issued per point). Returns a DISTRIBUTED DataFrame
+    (q_id, {id_col}, rank, dist2), rank 1..k by (dist2, id).
+
+    Unlike :func:`knn_join` (driver list, driver-side merge), every
+    per-query structure here is a DataFrame op, so the query side scales
+    to millions of rows:
+
+    round r: each pending query explodes its own probe disk JVM-side
+    (sequence(-r..r) x sequence(-r..r) -> cell ids; NO driver-built cell
+    table), the disk table broadcast-joins the points on cell_id, and
+    per-query top-k reduces in-plan (map-side-combined collect_list ->
+    array_sort -> slice — no Window exchange). A query CERTIFIES in-plan
+    when its kth distance <= (r*cell_min)^2; certified rows exit to the
+    result union, the rest re-probe at 4x radius (re-probing the full
+    disk, not an annulus, keeps rounds stateless — total probe work is
+    bounded by ~4/3 of the final disk). When the disk would exceed
+    ``max_cells_per_query`` (broadcast-size guard) or ``max_rounds``,
+    remaining queries resolve by ONE broadcast nested-loop pass of
+    pending queries against all points — exact by construction, and the
+    right plan exactly when disks would have covered most of the grid.
+
+    The per-round driver footprint is ONE count() per round (loop
+    control); results never land on the driver.
+    """
+    cell_min = min(grid.cell_w, grid.cell_h)
+    if stats is None:
+        stats = {}
+    stats.update({"rounds": 0, "exhaustive": False})
+    pts = points.withColumn("cell_id", grid.cell_id_col(F.col(x), F.col(y))).filter(
+        F.col("cell_id").isNotNull()
+    )
+    if n_total is None:
+        n_total = points.count()
+    if n_total > 0:
+        import math as _math
+
+        density = n_total / max(grid.n_cells, 1)
+        r = max(0, int(_math.ceil(_math.sqrt((64.0 * k) / density) / 2.0)) - 1)
+    else:
+        r = 4
+    r = min(r, max(grid.nx, grid.ny) // 4)
+
+    qcx = F.floor((F.col("qx") - F.lit(grid.x0)) / F.lit(grid.cell_w))
+    qcy = F.floor((F.col("qy") - F.lit(grid.y0)) / F.lit(grid.cell_h))
+    pending = queries.select("q_id", "qx", "qy", qcx.alias("qcx"), qcy.alias("qcy"))
+    dist2_col = (
+        (F.col(x) - F.col("qx")) * (F.col(x) - F.col("qx"))
+        + (F.col(y) - F.col("qy")) * (F.col(y) - F.col("qy"))
+    ).alias("dist2")
+
+    def _topk(cand: DataFrame) -> DataFrame:
+        return cand.groupBy("q_id").agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dist2"), F.col(id_col).alias("_id")))
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+
+    def _explode(certified: DataFrame) -> DataFrame:
+        return certified.select(
+            "q_id", F.posexplode("top").alias("pos", "s")
+        ).select(
+            "q_id",
+            F.col("s._id").alias(id_col),
+            (F.col("pos") + 1).alias("rank"),
+            F.col("s.dist2").alias("dist2"),
+        )
+
+    results: list[DataFrame] = []
+    kept: list[DataFrame] = []
+    cached = False
+    while True:
+        stats["rounds"] += 1
+        exhaust = (
+            (2 * r + 1) ** 2 > max_cells_per_query or stats["rounds"] > max_rounds
+        )
+        if exhaust:
+            # one broadcast nested-loop pass: pending queries x all
+            # in-grid points; globally exact, closes out every straggler
+            stats["exhaustive"] = True
+            cand = pts.crossJoin(
+                F.broadcast(pending.select("q_id", "qx", "qy"))
+            ).select("q_id", F.col(id_col), dist2_col)
+            results.append(_explode(_topk(cand)))
+            break
+        offs = F.sequence(F.lit(-r), F.lit(r))
+        disk = (
+            pending.withColumn("dx", F.explode(offs))
+            .withColumn("dy", F.explode(offs))
+            .withColumn("cx", F.col("qcx") + F.col("dx"))
+            .withColumn("cy", F.col("qcy") + F.col("dy"))
+            .filter(
+                (F.col("cx") >= 0)
+                & (F.col("cx") < grid.nx)
+                & (F.col("cy") >= 0)
+                & (F.col("cy") < grid.ny)
+            )
+            .select(
+                "q_id",
+                "qx",
+                "qy",
+                (F.col("cx") + F.lit(grid.nx) * F.col("cy")).alias("cell_id"),
+            )
+        )
+        cand = pts.join(F.broadcast(disk), "cell_id", "inner").select(
+            "q_id", F.col(id_col), dist2_col
+        )
+        topk = pending.join(_topk(cand), "q_id", "left")
+        done_cond = (F.size("top") >= k) & (
+            F.element_at("top", k)["dist2"] <= F.lit(float((r * cell_min) ** 2))
+        )
+        # certified frames stay persisted (q x k bounded) — they back the
+        # returned union; pending frames are loop-control only and are
+        # unpersisted below (recompute after unpersist is correctness-
+        # safe: the lineage re-executes from the source)
+        certified = topk.filter(done_cond).select("q_id", "top").persist()
+        results.append(_explode(certified))
+        nxt = (
+            topk.filter(~F.coalesce(done_cond, F.lit(False)))
+            .select("q_id", "qx", "qy", "qcx", "qcy")
+            .persist()
+        )
+        kept.append(nxt)
+        n_pending = nxt.count()  # the ONLY driver-side datum per round
+        pending = nxt
+        if n_pending == 0:
+            break
+        if not cached:
+            pts = pts.persist()
+            cached = True
+        r = 4 * r + 3  # 4x radius growth; stateless full-disk re-probe
+    out = results[0]
+    for df in results[1:]:
+        out = out.unionByName(df)
+    for df in kept:
+        df.unpersist(False)
+    if cached:
+        pts.unpersist(False)
+    return out
 
 
 def radius_query(

@@ -56,6 +56,12 @@ from raster_join_spark.geo.grid import GridSpec
 from raster_join_spark.geo.pip import pip_candidates
 from raster_join_spark.geo.polygons import PolygonSet
 
+# pip_col's unrolled CASE chain costs O(n_polys) dispatch per row and
+# O(polys x edges) codegen'd expression tree — measured viable only to a
+# few hundred polygons; past this bound callers must use the Arrow
+# kernel (which is also faster there; BENCH/poly_scaling.md)
+PIP_COL_MAX_POLYS = 512
+
 
 def _cell_csr(cells: np.ndarray, polys: np.ndarray, n_cells: int | None = None) -> dict:
     """Sort (cell, poly) pairs by cell into a lookup. When the grid is
@@ -265,7 +271,19 @@ class SpatialJoin:
         as geo/pip.py and the SQL oracle), dispatched by poly_id through
         a CASE chain. Whole-stage-codegen'd — no python anywhere. Viable
         for collections up to a few hundred polygons (expression size
-        grows as polys x edges; codegen splits long methods)."""
+        grows as polys x edges; codegen splits long methods) — GUARDED:
+        raises above PIP_COL_MAX_POLYS, where the CASE chain's linear
+        dispatch and expression-tree size make it strictly worse than the
+        Arrow kernel (callers like hybrid_join(fused="jvm") fall back
+        automatically)."""
+        if self.polyset.n_polys > PIP_COL_MAX_POLYS:
+            raise ValueError(
+                f"pip_col unrolls one CASE branch per polygon: "
+                f"{self.polyset.n_polys} polygons exceeds the "
+                f"{PIP_COL_MAX_POLYS}-polygon viability bound (linear "
+                "CASE dispatch per row + codegen tree blowup). Use the "
+                "Arrow PIP kernel (hybrid_join fused=True / index_join)."
+            )
         x = F.col(self.x).cast("double")
         y = F.col(self.y).cast("double")
         result: Column | None = None
@@ -495,10 +513,22 @@ class SpatialJoin:
             # Zero python operators — but measured ~3x SLOWER than the
             # Arrow kernel path (giant CASE expression trees evaluate
             # poorly); kept as the no-python fallback for environments
-            # without Arrow workers, not as the default.
-            return self._finalize(
-                self._exact_pairs(points, jvm_pip=True), agg, include_zero
-            )
+            # without Arrow workers, not as the default. Above the
+            # pip_col viability bound the unrolled expression is not
+            # even constructible — fall back to the fused Arrow kernel.
+            if self.polyset.n_polys > PIP_COL_MAX_POLYS:
+                import warnings
+
+                warnings.warn(
+                    f"fused='jvm' unavailable for {self.polyset.n_polys} "
+                    f"polygons (> {PIP_COL_MAX_POLYS}); falling back to "
+                    "the fused Arrow kernel",
+                    stacklevel=2,
+                )
+            else:
+                return self._finalize(
+                    self._exact_pairs(points, jvm_pip=True), agg, include_zero
+                )
         if fused and agg.op in ("count", "sum", "avg"):
             return self._fused_agg(points, agg, include_zero, coord_transfer)
         return self._finalize(self._exact_pairs(points), agg, include_zero)

@@ -145,6 +145,48 @@ FROM raster r LEFT JOIN acc a ON a.poly_id = r.poly_id
 """
 
 
+def rect_hybrid_count_sql(side: int) -> str:
+    """Closed-form oracle for the 4096-rectangle hybrid count: each rect's
+    membership is a pure range test (bounds are exact integer+0.5 floats,
+    so no point can sit on an edge and ray-cast PIP == the closed form —
+    see fixtures.rect_polyset). Fully INDEPENDENT of the engine's
+    classify/PIP machinery: the oracle never enumerates polygons at all,
+    it derives poly_id arithmetically — which is exactly what makes a
+    4096-polygon collection oracle-checkable without 4096 unioned PIP
+    scans."""
+    from raster_join_spark.fixtures import (
+        RECT_INSET_X,
+        RECT_INSET_Y,
+        X0,
+        X1,
+        Y0,
+        Y1,
+    )
+
+    sw = (X1 - X0) / side
+    sh = (Y1 - Y0) / side
+    sxp = f"CAST(floor((x - {X0!r}) / {sw!r}) AS BIGINT)"
+    syp = f"CAST(floor((y - {Y0!r}) / {sh!r}) AS BIGINT)"
+    return f"""
+WITH {POINTS_CTE},
+slotted AS (
+  SELECT x, y, {sxp} AS sxp, {syp} AS syp FROM points
+),
+assigned AS (
+  SELECT sxp + {side} * syp AS poly_id FROM slotted
+  WHERE sxp >= 0 AND sxp < {side} AND syp >= 0 AND syp < {side}
+    AND x > {X0!r} + sxp * {sw!r} + {RECT_INSET_X!r}
+    AND x < {X0!r} + (sxp + 1) * {sw!r} - {RECT_INSET_X!r}
+    AND y > {Y0!r} + syp * {sh!r} + {RECT_INSET_Y!r}
+    AND y < {Y0!r} + (syp + 1) * {sh!r} - {RECT_INSET_Y!r}
+),
+counts AS (SELECT poly_id, count(*) AS c FROM assigned GROUP BY 1)
+SELECT CAST(r.range AS BIGINT) AS poly_id,
+       CAST(coalesce(c.c, 0) AS BIGINT) AS agg
+FROM range({side * side}) r LEFT JOIN counts c ON c.poly_id = r.range
+"""
+
+
 def tile_partition_sql(grid: GridSpec = COARSE_GRID, n_buckets: int = 64) -> str:
     """S3 spatio-temporal hash partitioner (HashGridIndex.cpp:96-111
     primes + 10-day tbuckets, BackendIndex/main.cpp:64-65) as generated
@@ -292,6 +334,29 @@ cover(cell_id, poly_id) AS (VALUES {rows})
 SELECT c.win_start_s, CAST(v.poly_id AS BIGINT) AS poly_id, count(*) AS cnt
 FROM cells c JOIN cover v ON v.cell_id = c.cell_id
 GROUP BY 1, 2
+"""
+
+
+def knn_bulk_sql(k: int = KNN_K, modulus: int = 10) -> str:
+    """Brute-force twin of the set-oriented kNN: the query TABLE is
+    every ``modulus``-th point; top-k per query via row_number over the
+    full cross product (exact, feasible at gate scale)."""
+    return f"""
+WITH {POINTS_CTE},
+q AS (SELECT event_id AS q_id, x AS qx, y AS qy FROM points
+      WHERE event_id % {modulus} = 0),
+cand AS (
+  SELECT q.q_id AS q_id, p.event_id AS event_id,
+         CAST((p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS BIGINT) AS dist2
+  FROM points p CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, event_id, dist2,
+         row_number() OVER (PARTITION BY q_id ORDER BY dist2, event_id) AS rnk
+  FROM cand
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, event_id, CAST(rnk AS BIGINT) AS rank, dist2
+FROM ranked WHERE rnk <= {k}
 """
 
 

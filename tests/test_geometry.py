@@ -361,3 +361,84 @@ def test_mercator_polynomial_bit_parity_and_accuracy(spark):
     _, cy = world_center()
     rel = np.abs((py + cy) - ty) / np.abs(ty)
     assert rel.max() < 1e-12
+
+
+# ---------------------------------------- batched classify equivalence
+
+
+def _assert_tables_equal(a, b, frac_atol=1e-8):
+    """Order-insensitive exact comparison of PolyGridTables (frac compared
+    with tolerance: the shoelace fold's summation order differs between
+    the loop and batch forms, and at ~1e8 coordinate magnitudes the
+    cancellation noise floor is ~1e-9 in the fraction)."""
+
+    def key(cells, polys):
+        return np.lexsort((cells, polys))
+
+    ka, kb = key(a.cover_cell, a.cover_poly), key(b.cover_cell, b.cover_poly)
+    np.testing.assert_array_equal(a.cover_cell[ka], b.cover_cell[kb])
+    np.testing.assert_array_equal(a.cover_poly[ka], b.cover_poly[kb])
+    ka, kb = key(a.cand_cell, a.cand_poly), key(b.cand_cell, b.cand_poly)
+    np.testing.assert_array_equal(a.cand_cell[ka], b.cand_cell[kb])
+    np.testing.assert_array_equal(a.cand_poly[ka], b.cand_poly[kb])
+    ka, kb = key(a.cls_cell, a.cls_poly), key(b.cls_cell, b.cls_poly)
+    np.testing.assert_array_equal(a.cls_cell[ka], b.cls_cell[kb])
+    np.testing.assert_array_equal(a.cls_poly[ka], b.cls_poly[kb])
+    np.testing.assert_array_equal(a.cls_kind[ka], b.cls_kind[kb])
+    np.testing.assert_array_equal(a.cls_center_in[ka], b.cls_center_in[kb])
+    np.testing.assert_allclose(a.cls_frac[ka], b.cls_frac[kb], atol=frac_atol)
+
+
+def test_classify_batch_equals_reference_oracle_fixture():
+    from raster_join_spark.fixtures import COARSE_GRID, ORACLE_POLYS
+    from raster_join_spark.geo.classify import classify_cells, classify_cells_ref
+
+    _assert_tables_equal(
+        classify_cells_ref(COARSE_GRID, ORACLE_POLYS),
+        classify_cells(COARSE_GRID, ORACLE_POLYS),
+    )
+
+
+def test_classify_batch_equals_reference_blobs_and_rects():
+    from raster_join_spark.fixtures import COARSE_GRID, FINE_GRID, X0, X1, Y0, Y1
+    from raster_join_spark.fixtures import rect_polyset
+    from raster_join_spark.geo.classify import classify_cells, classify_cells_ref
+    from raster_join_spark.geo.polygons import blob_polygons
+
+    blobs = blob_polygons(100, X0, Y0, X1, Y1, n_verts=5, seed=9, name="eq100")
+    _assert_tables_equal(
+        classify_cells_ref(FINE_GRID, blobs), classify_cells(FINE_GRID, blobs)
+    )
+    rects = rect_polyset(16)  # 256 axis-aligned (degenerate-edge) polys
+    _assert_tables_equal(
+        classify_cells_ref(COARSE_GRID, rects), classify_cells(COARSE_GRID, rects)
+    )
+
+
+def test_classify_float32_mode_still_reference_path():
+    """dtype=float32 (reference-precision parity) must keep the loop
+    implementation's exact mixed-promotion arithmetic."""
+    from raster_join_spark.fixtures import COARSE_GRID, ORACLE_POLYS
+    from raster_join_spark.geo.classify import classify_cells, classify_cells_ref
+
+    a = classify_cells_ref(COARSE_GRID, ORACLE_POLYS, dtype=np.float32)
+    b = classify_cells(COARSE_GRID, ORACLE_POLYS, dtype=np.float32)
+    _assert_tables_equal(a, b, frac_atol=0.0)  # same code path -> bit-equal
+
+
+def test_classify_65536_polygons_within_budget():
+    """Round-3 verdict item 1: the 65,536-polygon build must stay cheap
+    enough to run per-(collection, grid) — measured ~8s on a quiet host;
+    budget 60s absorbs external load storms."""
+    import time
+
+    from raster_join_spark.fixtures import FINE_GRID, X0, X1, Y0, Y1
+    from raster_join_spark.geo.classify import classify_cells
+    from raster_join_spark.geo.polygons import blob_polygons
+
+    ps = blob_polygons(65536, X0, Y0, X1, Y1, n_verts=8, seed=7, name="b65536")
+    t0 = time.perf_counter()
+    t = classify_cells(FINE_GRID, ps)
+    dt = time.perf_counter() - t0
+    assert dt < 60.0, f"classify took {dt:.1f}s"
+    assert len(t.cls_kind) > 400_000  # sanity: the tables are real

@@ -89,6 +89,120 @@ def test_knn_round_collect_is_topk_bounded(spark):
         assert got == exp
 
 
+def test_knn_fine_grid_sparse_no_giant_literal(spark):
+    """Round-3 verdict item 2: on a fine grid (2048 x 2048 = 4.2M cells)
+    with sparse data, certification must NOT enumerate a giant literal
+    cell table (the old code's final certify-all round built the whole
+    disk driver-side). The annulus/exhaustive design keeps every
+    driver-built DataFrame under literal_cap and resolves stragglers by
+    broadcasting the pending queries against all points instead."""
+    rng = np.random.RandomState(11)
+    n = 40  # sparse: ~1 point per 100k cells
+    x = rng.uniform(0, 204800, n).round()
+    y = rng.uniform(0, 204800, n).round()
+    df = spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "x": x, "y": y})
+    )
+    grid = GridSpec(0.0, 0.0, 100.0, 100.0, 2048, 2048)
+    stats: dict = {}
+    got = knn_join(
+        spark, df, grid, [(0, 55.0, 44.0)], k=5, n_total=n, stats=stats
+    ).toPandas()
+    assert stats["max_literal_rows"] <= 100_000, stats
+    d2 = (x - 55.0) ** 2 + (y - 44.0) ** 2
+    exp = np.lexsort((np.arange(n), d2))[:5].tolist()
+    assert got.sort_values("rank")["event_id"].tolist() == exp
+    np.testing.assert_array_equal(
+        got.sort_values("rank")["dist2"].to_numpy(), np.sort(d2)[:5]
+    )
+
+
+def test_knn_annulus_merge_across_rounds(spark):
+    """Cross-round top-k merge: force several annulus rounds (moderate
+    density, query in an emptyish corner) and verify the merged result
+    equals brute force — candidates found in different annuli must
+    combine, not overwrite."""
+    rng = np.random.RandomState(21)
+    # 4 points near the query (inside the first tiny probe disk) + a far
+    # shell: the correct top-9 combines candidates found in DIFFERENT
+    # annulus rounds, so a replace-instead-of-merge bug loses the near 4
+    ang = rng.uniform(0, 2 * np.pi, 396)
+    fx = (500 + np.cos(ang) * 160.0).round()  # far shell, fully in-grid
+    fy = (500 + np.sin(ang) * 160.0).round()
+    x = np.r_[[560.0, 500.0, 540.0, 515.0], fx]
+    y = np.r_[[500.0, 560.0, 540.0, 545.0], fy]
+    n = len(x)
+    df = spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "x": x, "y": y})
+    )
+    grid = GridSpec(0.0, 0.0, 25.0, 25.0, 40, 40)
+    stats: dict = {}
+    # n_total inflated: forces a tiny initial probe radius so the near
+    # points are found rounds before the far shell enters the disk
+    got = knn_join(
+        spark, df, grid, [(0, 500.0, 500.0)], k=9, n_total=100 * n, stats=stats
+    ).toPandas()
+    assert stats["rounds"] >= 2, stats  # the merge path actually ran
+    d2 = (x - 500.0) ** 2 + (y - 500.0) ** 2
+    exp = np.lexsort((np.arange(n), d2))[:9].tolist()
+    assert set(exp[:4]) == {0, 1, 2, 3}  # the near 4 must be in the answer
+    assert got.sort_values("rank")["event_id"].tolist() == exp
+
+
+def test_knn_bulk_vs_bruteforce(spark):
+    """Set-oriented kNN over a DataFrame of query points — exact vs
+    numpy brute force for every query, including ties broken by id."""
+    from raster_join_spark.operators.knn import knn_join_bulk
+
+    rng = np.random.RandomState(31)
+    n, nq, k = 2000, 50, 4
+    x = rng.uniform(0, 1000, n).round()
+    y = rng.uniform(0, 1000, n).round()
+    df = spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "x": x, "y": y})
+    )
+    qx = rng.uniform(0, 1000, nq).round()
+    qy = rng.uniform(0, 1000, nq).round()
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"q_id": np.arange(nq, dtype=np.int64), "qx": qx, "qy": qy})
+    )
+    grid = GridSpec(0.0, 0.0, 50.0, 50.0, 20, 20)
+    got = knn_join_bulk(spark, df, grid, qdf, k, n_total=n).toPandas()
+    assert len(got) == nq * k
+    for q in range(nq):
+        d2 = (x - qx[q]) ** 2 + (y - qy[q]) ** 2
+        exp = np.lexsort((np.arange(n), d2))[:k].tolist()
+        sub = got[got.q_id == q].sort_values("rank")
+        assert sub["event_id"].tolist() == exp, f"q={q}"
+
+
+def test_knn_bulk_sparse_forces_multi_round(spark):
+    """Bulk path with queries in empty regions: must go through the
+    grow-or-exhaust machinery and still be exact."""
+    from raster_join_spark.operators.knn import knn_join_bulk
+
+    rng = np.random.RandomState(41)
+    n, k = 60, 6
+    x = rng.uniform(900, 1000, n).round()
+    y = rng.uniform(900, 1000, n).round()
+    df = spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "x": x, "y": y})
+    )
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"q_id": np.array([0, 1], dtype=np.int64),
+                      "qx": [5.0, 980.0], "qy": [5.0, 990.0]})
+    )
+    grid = GridSpec(0.0, 0.0, 10.0, 10.0, 100, 100)
+    stats: dict = {}
+    got = knn_join_bulk(spark, df, grid, qdf, k, n_total=n, stats=stats).toPandas()
+    assert stats["rounds"] >= 2, stats
+    for q, (qx_, qy_) in enumerate([(5.0, 5.0), (980.0, 990.0)]):
+        d2 = (x - qx_) ** 2 + (y - qy_) ** 2
+        exp = np.lexsort((np.arange(n), d2))[:k].tolist()
+        sub = got[got.q_id == q].sort_values("rank")
+        assert sub["event_id"].tolist() == exp, f"q={q}"
+
+
 def test_knn_query_outside_dense_area(spark):
     """Query in an empty corner: ring must expand several rounds and still
     return exact results."""

@@ -283,3 +283,92 @@ def test_fused_auto_selection(spark, points_df, polyset, random_points):
         assert a["agg"].tolist() == b["agg"].tolist()
     finally:
         cached.unpersist()
+
+
+def test_rect_polyset_pip_equals_closed_form():
+    """The 4096-rect gate fixture's load-bearing property: with every
+    bound an exact (integer + 0.5) float64, ray-cast PIP over the rect
+    equals the closed-form range test for all integer-microdegree points
+    — the oracle uses the closed form, the engine runs real PIP."""
+    import numpy as np
+
+    from raster_join_spark.fixtures import (
+        RECT_INSET_X,
+        RECT_INSET_Y,
+        X0,
+        X1,
+        Y0,
+        Y1,
+        rect_polyset,
+    )
+    from raster_join_spark.geo.pip import pip_mask
+
+    side = 64
+    ps = rect_polyset(side)
+    sw, sh = (X1 - X0) / side, (Y1 - Y0) / side
+    rng = np.random.RandomState(3)
+    # random integer points + points hugging rect edges (off by 0/1)
+    px = np.round(rng.uniform(X0, X1, 4000))
+    py = np.round(rng.uniform(Y0, Y1, 4000))
+    for p in (0, 63, 64 * 32 + 17, 4095):
+        v = ps.poly_verts(p)
+        for ex in (np.floor(v[0, 0]), np.ceil(v[0, 0]), np.floor(v[2, 0])):
+            px = np.r_[px, ex, ex]
+            py = np.r_[py, np.floor(v[0, 1]), np.ceil(v[2, 1])]
+    sxp = np.floor((px - X0) / sw).astype(np.int64)
+    syp = np.floor((py - Y0) / sh).astype(np.int64)
+    ok = (sxp >= 0) & (sxp < side) & (syp >= 0) & (syp < side)
+    inside_cf = (
+        ok
+        & (px > X0 + sxp * sw + RECT_INSET_X)
+        & (px < X0 + (sxp + 1) * sw - RECT_INSET_X)
+        & (py > Y0 + syp * sh + RECT_INSET_Y)
+        & (py < Y0 + (syp + 1) * sh - RECT_INSET_Y)
+    )
+    poly_cf = np.where(inside_cf, sxp + side * syp, -1)
+    got = np.full(len(px), -1, dtype=np.int64)
+    for p in np.unique(poly_cf[poly_cf >= 0]):
+        m = pip_mask(px, py, ps.poly_verts(int(p)))
+        assert np.array_equal(m, poly_cf == p)  # exact agreement both ways
+        got[m] = p
+    # and points the closed form calls outside must be outside their slot's rect
+    out_idx = np.flatnonzero(~inside_cf & ok)[:200]
+    for i in out_idx:
+        p = int(sxp[i] + side * syp[i])
+        assert not pip_mask(px[i : i + 1], py[i : i + 1], ps.poly_verts(p))[0]
+
+
+def test_pip_col_guard_and_jvm_fallback(spark):
+    """pip_col must refuse to unroll >512 polygons; hybrid_join('jvm')
+    falls back to the fused Arrow kernel and stays exact."""
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from raster_join_spark.fixtures import COARSE_GRID, X0, X1, Y0, Y1, rect_polyset
+    from raster_join_spark.operators.spatial_join import SpatialJoin
+
+    ps = rect_polyset(32)  # 1024 polys > PIP_COL_MAX_POLYS
+    sj = SpatialJoin(spark, ps, COARSE_GRID)
+    with pytest.raises(ValueError, match="pip_col"):
+        sj.pip_col(F.lit(0))
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {
+            "x": np.round(rng.uniform(X0, X1, 3000)),
+            "y": np.round(rng.uniform(Y0, Y1, 3000)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = sj.hybrid_join(df, fused="jvm").toPandas()
+    assert any("falling back" in str(x.message) for x in w)
+    exp = sj.hybrid_join(df, fused=True).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("poly_id", ignore_index=True),
+        exp.sort_values("poly_id", ignore_index=True),
+    )
