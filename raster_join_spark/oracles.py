@@ -145,6 +145,25 @@ FROM raster r LEFT JOIN acc a ON a.poly_id = r.poly_id
 """
 
 
+def ingest_binary_sql() -> str:
+    """Twin of the binary round-trip gate query: the same field
+    derivations the Spark side writes into the taxi record file —
+    identical integer arithmetic, rpad truncation, and float32 narrowing
+    (CAST AS REAL == numpy float32, IEEE round-to-nearest)."""
+    return f"""
+WITH {POINTS_CTE}
+SELECT CAST(event_id AS BIGINT) AS db_idx,
+       x AS pick_x,
+       y AS pick_y,
+       CAST(floor(epoch(warc_ts)) AS BIGINT) AS pickup_time,
+       substr(rpad(lang, 4, '_'), 1, 4) AS vendor,
+       CAST(value_c % 65536 AS BIGINT) AS fare,
+       CAST(event_id % 256 AS BIGINT) AS passengers,
+       CAST(CAST(value_c AS REAL) AS DOUBLE) AS miles
+FROM points
+"""
+
+
 def rect_hybrid_count_sql(side: int) -> str:
     """Closed-form oracle for the 4096-rectangle hybrid count: each rect's
     membership is a pure range test (bounds are exact integer+0.5 floats,
