@@ -415,6 +415,25 @@ def _q_hybrid_poly4096(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sj.hybrid_join(_points(spark, sf_dir), coord_transfer="int")
 
 
+def _q_index_f32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """float32 parity mode under the exact gate (round-3 verdict item 7):
+    the index join with dtype=np.float32 — coordinates and vertices
+    narrowed to the reference's storage precision
+    (TaxiRecord.hpp:121-133, PolyHandler.cpp:49-64) so the PIP kernel
+    makes the reference binaries' edge decisions. Oracle: the same
+    crossing rule with every intermediate in DuckDB REAL (true IEEE
+    float32) — the narrowed decisions are hash-checked, not just the
+    float64 ones. The fixture's f32-vs-f64 decision-diff count is
+    recorded in tests/test_spatial_join.py::test_float32_decision_diff."""
+    import numpy as np
+
+    from raster_join_spark.fixtures import COARSE_GRID, ORACLE_POLYS
+    from raster_join_spark.operators.spatial_join import SpatialJoin
+
+    sj = SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID, dtype=np.float32)
+    return sj.index_join(_points(spark, sf_dir))
+
+
 def _q_ingest_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 parity adapter under the exact gate (round-3 verdict item 6):
     synthesize a reference-format 88-byte taxi record file
@@ -708,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bulk": _q_knn_bulk,
         "spatial_hybrid_poly4096": _q_hybrid_poly4096,
         "ingest_binary": _q_ingest_binary,
+        "spatial_index_f32": _q_index_f32,
         "spatial_hybrid_sum": _q_hybrid_sum,
         "radius_ellipse": _q_radius,
         "quadkey_assign": _q_quadkey_assign,
@@ -761,6 +781,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bulk": oracles.knn_bulk_sql(modulus=KNN_BULK_MOD),
         "spatial_hybrid_poly4096": oracles.rect_hybrid_count_sql(RECT_SIDE),
         "ingest_binary": oracles.ingest_binary_sql(),
+        "spatial_index_f32": oracles.index_count_f32_sql(),
         "spatial_hybrid_sum": oracles.sum_sql(),
         "radius_ellipse": oracles.radius_sql(RADIUS_RX, RADIUS_RY),
         "quadkey_assign": oracles.quadkey_assign_sql(QK_ZOOM),

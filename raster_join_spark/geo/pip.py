@@ -135,19 +135,34 @@ def pip_candidates(
     return out
 
 
-def pip_sql(x_expr: str, y_expr: str, verts: np.ndarray) -> str:
+def pip_sql(x_expr: str, y_expr: str, verts: np.ndarray, float32: bool = False) -> str:
     """Generate the identical crossing rule as an ANSI-SQL boolean
     expression for ONE polygon — one CASE term per edge, XOR-folded by
     summing 1-bits and testing parity. Used to build DuckDB oracles that
     reproduce the engine's PIP decisions exactly (same double-precision
-    op order as pip_mask)."""
+    op order as pip_mask).
+
+    ``float32=True`` emits the reference-precision twin: every vertex
+    literal is pre-rounded to float32 and CAST AS REAL, so (DuckDB REAL
+    arithmetic being true IEEE float32, verified) each intermediate is
+    the same float32 value pip_mask(dtype=np.float32) computes — the
+    caller must likewise feed REAL-cast point exprs."""
     v = np.asarray(verts, dtype=np.float64)
+    if float32:
+        v32 = v.astype(np.float32)
+
+        def lit(val) -> str:
+            return f"CAST({float(val)!r} AS REAL)"
+
+        vlit = [(lit(v32[i, 0]), lit(v32[i, 1])) for i in range(len(v))]
+    else:
+        vlit = [(repr(float(v[i, 0])), repr(float(v[i, 1]))) for i in range(len(v))]
     terms = []
     nv = len(v)
     for i in range(nv):
         j = (i - 1) % nv
-        vix, viy = repr(float(v[i, 0])), repr(float(v[i, 1]))
-        vjx, vjy = repr(float(v[j, 0])), repr(float(v[j, 1]))
+        vix, viy = vlit[i]
+        vjx, vjy = vlit[j]
         terms.append(
             f"(CASE WHEN (({viy} > {y_expr}) <> ({vjy} > {y_expr})) "
             f"AND ({x_expr} < ({vjx} - {vix}) * ({y_expr} - {viy}) / ({vjy} - {viy}) + {vix}) "

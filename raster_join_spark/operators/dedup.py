@@ -387,6 +387,150 @@ def minhash_dedup(docs: DataFrame, **kw) -> DataFrame:
 _WIN_B = 1_000_003
 
 
+def _winnow_kernel_ref(
+    ids_in: np.ndarray, texts: list, k: int, window: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-document loop form (kept as the readable spec and the A/B
+    baseline for BENCH/winnow_kernel.md) — numpy inner work, but one
+    Python iteration per document."""
+    ids, poss, fps = [], [], []
+    for did, text in zip(ids_in, texts):
+        n = len(text)
+        if n < k:
+            continue
+        ng = n - k + 1
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        h = codes[:ng].copy()
+        for j in range(1, k):
+            h = (h * _WIN_B + codes[j : j + ng]) % _P31
+        if len(h) < window:
+            sel = np.array([int(np.argmin(h))])
+        else:
+            key = (h << 32) + np.arange(ng, dtype=np.int64)
+            nw = ng - window + 1
+            m = key[:nw].copy()
+            for j in range(1, window):
+                np.minimum(m, key[j : j + nw], out=m)
+            keep = np.empty(nw, dtype=bool)
+            keep[0] = True
+            np.not_equal(m[1:], m[:-1], out=keep[1:])
+            sel = m[keep] & 0xFFFFFFFF
+        ids.extend([did] * len(sel))
+        poss.extend(sel.tolist())
+        fps.extend(h[sel].tolist())
+    return (
+        np.asarray(ids, np.int64),
+        np.asarray(poss, np.int32),
+        np.asarray(fps, np.int64),
+    )
+
+
+def _winnow_kernel(
+    ids_in: np.ndarray, texts: list, k: int, window: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flat batch winnowing — ZERO per-document Python (round-3 verdict
+    item 8): every doc in the batch is concatenated into one codepoint
+    array; gram hashing is k Horner sweeps over the WHOLE array; the
+    sliding-window min runs over a sentinel-padded gram array (window-1
+    MAX sentinels after each doc, so no window ever mixes documents);
+    docs with fewer than ``window`` grams take their leftmost global
+    argmin via one segmented minimum.reduceat. Identical integer
+    arithmetic and tie-breaking to the loop form (equality-tested);
+    ~10x fewer interpreter dispatches on short-doc corpora
+    (BENCH/winnow_kernel.md)."""
+    lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+    docsel = lens >= k
+    if not docsel.any():
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int32),
+            np.empty(0, np.int64),
+        )
+    ids_d = np.asarray(ids_in, np.int64)[docsel]
+    lens = lens[docsel]
+    text_all = "".join(t for t, s in zip(texts, docsel) if s)
+    codes = np.frombuffer(text_all.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    ng = lens - k + 1  # grams per doc (>= 1)
+    n_all = len(codes) - k + 1  # global gram slots (incl. cross-doc junk)
+    h = codes[:n_all].copy()
+    for j in range(1, k):
+        h = (h * _WIN_B + codes[j : j + n_all]) % _P31
+
+    # gather the VALID grams (within-doc) into a doc-major flat array,
+    # inserting `window-1` MAX sentinels after each doc so the pairwise
+    # windowed min never crosses a boundary
+    pad = window - 1
+    D = len(lens)
+    out_len = int(ng.sum()) + pad * D
+    gstart = np.r_[0, np.cumsum(ng + pad)[:-1]]  # doc's slot offset
+    tot_g = int(ng.sum())
+    gexcl = np.cumsum(ng) - ng
+    doc_of_g = np.repeat(np.arange(D), ng)
+    loc = np.arange(tot_g, dtype=np.int64) - gexcl[doc_of_g]
+    flat_idx = gstart[doc_of_g] + loc  # slot in padded array
+    src_idx = starts[doc_of_g] + loc  # global gram position
+    SENT = np.iinfo(np.int64).max
+    key = np.full(out_len, SENT, dtype=np.int64)
+    # key = (hash << 32) + LOCAL pos: same tie-break as the loop form,
+    # and directly yields (pos, fp) on selection
+    key[flat_idx] = (h[src_idx] << 32) + loc
+
+    # window starts valid for doc d: local 0 .. ng_d - window
+    long_docs = ng >= window
+    sel_ids: list[np.ndarray] = []
+    sel_pos: list[np.ndarray] = []
+    sel_fp: list[np.ndarray] = []
+    if long_docs.any():
+        nw = np.where(long_docs, ng - pad, 0)
+        nw_tot = int(nw.sum())
+        dl = np.flatnonzero(long_docs)
+        doc_of_w = np.repeat(dl, nw[dl])
+        wexcl = np.cumsum(nw[dl]) - nw[dl]
+        wloc = (
+            np.arange(nw_tot, dtype=np.int64)
+            - np.repeat(wexcl, nw[dl])
+        )
+        wflat = gstart[doc_of_w] + wloc
+        m = key[wflat].copy()
+        for j in range(1, window):
+            np.minimum(m, key[wflat + j], out=m)
+        keep = np.empty(nw_tot, dtype=bool)
+        if nw_tot:
+            keep[0] = True
+            np.not_equal(m[1:], m[:-1], out=keep[1:])
+            np.logical_or(keep, np.r_[True, doc_of_w[1:] != doc_of_w[:-1]], out=keep)
+        mk = m[keep]
+        dk = doc_of_w[keep]
+        lp = mk & 0xFFFFFFFF
+        sel_ids.append(ids_d[dk])
+        sel_pos.append(lp)
+        sel_fp.append(h[starts[dk] + lp])
+    short = ~long_docs
+    if short.any():
+        ds = np.flatnonzero(short)
+        # leftmost global argmin per short doc: segmented min over its
+        # own gram range only (key embeds the pos tiebreak) — reduceat
+        # over (start, end) index pairs, discarding the between-segment
+        # results (end < len(key) always: the pad slots follow each doc)
+        bounds = np.empty(2 * len(ds), dtype=np.int64)
+        bounds[0::2] = gstart[ds]
+        bounds[1::2] = gstart[ds] + ng[ds]
+        mins = np.minimum.reduceat(key, bounds)[0::2]
+        lp = mins & 0xFFFFFFFF
+        sel_ids.append(ids_d[ds])
+        sel_pos.append(lp)
+        sel_fp.append(h[starts[ds] + lp])
+    ids_o = np.concatenate(sel_ids)
+    pos_o = np.concatenate(sel_pos)
+    fp_o = np.concatenate(sel_fp)
+    return ids_o, pos_o.astype(np.int32), fp_o
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 5,
@@ -399,11 +543,10 @@ def winnow_fingerprints(
     (base ``_WIN_B`` mod 2^31-1 — shared bit-for-bit with the SQL twin),
     then keep the LEFTMOST minimum of every `window` consecutive hashes.
     Output: one row per selected fingerprint (doc_id, pos, fp) — join on
-    fp to find copied passages across documents. Arrow-batched; BOTH the
-    gram hashing (k Horner steps over the whole codepoint array) and the
-    selection (sliding-window argmin) are vectorized numpy — zero
-    per-gram Python calls. No shuffle: every doc winnows locally inside
-    its input partition."""
+    fp to find copied passages across documents. Arrow-batched; the
+    kernel (_winnow_kernel) is flat across the whole batch — zero
+    per-gram AND zero per-document Python. No shuffle: every doc winnows
+    locally inside its input partition."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -414,48 +557,10 @@ def winnow_fingerprints(
 
     def fn(batches):
         for pdf in batches:
-            ids, poss, fps = [], [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                n = len(text)
-                if n < k:
-                    continue
-                ng = n - k + 1
-                # vectorized rolling polynomial: Horner over codepoints,
-                # one (mul, add, mod) sweep per gram offset — k array ops
-                # total, identical integer arithmetic to the SQL twin
-                # (intermediates < P31 * B + 2^21 < 2^52, no overflow)
-                codes = np.frombuffer(
-                    text.encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.int64)
-                h = codes[:ng].copy()
-                for j in range(1, k):
-                    h = (h * _WIN_B + codes[j : j + ng]) % _P31
-                # winnow: leftmost min of each `window` consecutive hashes.
-                # key = (hash << 32) | pos makes the leftmost tie win under
-                # plain min; windowed min via `window-1` pairwise minimums
-                # (no strided argmin — ~3x faster); sliding-window argmin
-                # positions are non-decreasing, so consecutive-dedup fully
-                # dedups and the output is already sorted by pos
-                if len(h) < window:
-                    sel = np.array([int(np.argmin(h))])
-                else:
-                    key = (h << 32) + np.arange(ng, dtype=np.int64)
-                    nw = ng - window + 1
-                    m = key[:nw].copy()
-                    for j in range(1, window):
-                        np.minimum(m, key[j : j + nw], out=m)
-                    keep = np.empty(nw, dtype=bool)
-                    keep[0] = True
-                    np.not_equal(m[1:], m[:-1], out=keep[1:])
-                    sel = m[keep] & 0xFFFFFFFF
-                ids.extend([did] * len(sel))
-                poss.extend(sel.tolist())
-                fps.extend(h[sel].tolist())
-            yield pd.DataFrame(
-                {id_col: np.asarray(ids, np.int64),
-                 "pos": np.asarray(poss, np.int32),
-                 "fp": np.asarray(fps, np.int64)}
+            ids, poss, fps = _winnow_kernel(
+                pdf[id_col].to_numpy(), pdf[text_col].tolist(), k, window
             )
+            yield pd.DataFrame({id_col: ids, "pos": poss, "fp": fps})
 
     return docs.select(id_col, text_col).mapInPandas(fn, schema)
 

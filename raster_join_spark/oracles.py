@@ -48,6 +48,28 @@ def index_count_sql(where: str = "TRUE") -> str:
     return f"WITH {POINTS_CTE} {body}"
 
 
+def index_count_f32_sql() -> str:
+    """float32 (reference storage precision, TaxiRecord.hpp:121-133)
+    twin of the index-join count: point coords and vertices narrowed to
+    float32, every PIP intermediate computed in REAL — DuckDB REAL
+    arithmetic is IEEE float32 (verified), so this reproduces
+    pip_mask(dtype=np.float32) bit-for-bit."""
+    parts = []
+    for p in range(ORACLE_POLYS.n_polys):
+        pip = pip_sql("x32", "y32", ORACLE_POLYS.poly_verts(p), float32=True)
+        parts.append(
+            f"SELECT CAST({p} AS BIGINT) AS poly_id, count(*) AS agg "
+            f"FROM pts32 WHERE {pip}"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return (
+        f"WITH {POINTS_CTE}, "
+        "pts32 AS (SELECT CAST(x AS REAL) AS x32, CAST(y AS REAL) AS y32 "
+        "FROM points) "
+        f"{body}"
+    )
+
+
 def avg_sql() -> str:
     body = _per_poly_union(
         "SELECT CAST({pid} AS BIGINT) AS poly_id, avg(value_c) AS agg "

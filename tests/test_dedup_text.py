@@ -212,3 +212,35 @@ def test_h60_parity_across_engines(spark):
     exp = con.sql(f"SELECT i, {D.h60_sql('s')} AS h FROM t ORDER BY i").df()
     assert got["h"].tolist() == exp["h"].tolist()
     assert got["h"].tolist() == [D.h60_py(s) for s in strs]
+
+
+def test_winnow_kernel_flat_equals_ref():
+    """The flat-batch winnow kernel must reproduce the per-doc loop
+    exactly: same hashes, same leftmost-min tie-breaks, same
+    consecutive-dedup — across sub-k docs, sub-window docs, tie-heavy
+    and non-ASCII text."""
+    import numpy as np
+    import pandas as pd
+
+    from raster_join_spark.operators.dedup import (
+        _winnow_kernel,
+        _winnow_kernel_ref,
+    )
+
+    rng = np.random.RandomState(7)
+    texts = []
+    for _ in range(400):
+        L = rng.randint(0, 150)
+        texts.append("".join(chr(97 + c) for c in rng.randint(0, 5, L)))
+    texts[:6] = ["", "ab", "abcd", "abcde", "aaaaaaaaaaaa", "日本語テキスト" * 4]
+    ids = np.arange(len(texts), dtype=np.int64)
+    for k, w in ((5, 4), (3, 2), (2, 5)):
+        a = _winnow_kernel_ref(ids, texts, k, w)
+        b = _winnow_kernel(ids, texts, k, w)
+        da = pd.DataFrame({"i": a[0], "p": a[1], "f": a[2]}).sort_values(
+            ["i", "p", "f"], ignore_index=True
+        )
+        db = pd.DataFrame({"i": b[0], "p": b[1], "f": b[2]}).sort_values(
+            ["i", "p", "f"], ignore_index=True
+        )
+        pd.testing.assert_frame_equal(da, db)

@@ -372,3 +372,32 @@ def test_pip_col_guard_and_jvm_fallback(spark):
         got.sort_values("poly_id", ignore_index=True),
         exp.sort_values("poly_id", ignore_index=True),
     )
+
+
+def test_float32_decision_diff():
+    """Documents the float32-vs-float64 PIP decision diff on the fixture
+    distribution (100k synthesized points x 16 oracle polygons). float32
+    ulp at ~1.2e8 microdegrees is 8 units, so only points within ~8
+    microdegrees (~0.9 m) of an edge can flip; the count is asserted
+    tiny and stable — the reference's storage precision
+    (TaxiRecord.hpp:121-133) changes answers by at most this much.
+    Recorded count: 1 flipped (point, polygon) decision in 100k points
+    (driver-gated f32 row: spatial_index_f32)."""
+    import numpy as np
+
+    from raster_join_spark.fixtures import ORACLE_POLYS
+    from raster_join_spark.geo.pip import pip_multi
+
+    ids = np.arange(100_000, dtype=np.int64)
+    hot = (ids % 10) < 3
+    y = np.where(hot, 40_500_000 + (ids * 12345) % 400_000,
+                 24_500_000 + (ids * 48271) % 24_000_000).astype(np.float64)
+    x = np.where(hot, -74_200_000 + (ids * 54321) % 400_000,
+                 -124_500_000 + (ids * 16807) % 57_000_000).astype(np.float64)
+    v, o = ORACLE_POLYS.verts, ORACLE_POLYS.offsets
+    p64 = set(zip(*pip_multi(x, y, v, o, dtype=np.float64)))
+    p32 = set(zip(*pip_multi(x, y, v, o, dtype=np.float32)))
+    diff = len(p64 ^ p32)
+    assert diff <= 20, f"f32/f64 decision diff unexpectedly large: {diff}"
+    # stability pin: bump deliberately if the fixture changes
+    assert diff == 1, f"recorded diff count changed: {diff}"
