@@ -88,15 +88,17 @@ def _q_index_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_hybrid_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """coord_transfer="int": the engine's canonical coordinate space is
-    integer microdegrees (int32-exact), so the fused kernel's Arrow feed
-    ships 4-byte ints instead of 8-byte doubles — the bandwidth-dominant
-    term at full machine width (BENCH/hybrid_rootcause.md). The kernel
-    widens back to float64; this gate row proves bit-identical results."""
+    """coord_transfer="packed": the engine's canonical coordinate space
+    is integer microdegrees (int32-exact), so the fused kernel's Arrow
+    feed ships BOTH coords in one int64 column — half the bytes of
+    float64 and half the per-row field count, the two measured
+    full-width cost terms (BENCH/hybrid_rootcause.md). The kernel
+    unpacks and widens back to float64; this gate row proves
+    bit-identical results."""
     from raster_join_spark.fixtures import COARSE_GRID
 
     return _sj(spark, COARSE_GRID).hybrid_join(
-        _points(spark, sf_dir), coord_transfer="int"
+        _points(spark, sf_dir), coord_transfer="packed"
     )
 
 
@@ -367,7 +369,7 @@ def _q_hybrid_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _sj(spark, COARSE_GRID).hybrid_join(
         _points(spark, sf_dir), AggSpec("sum", "value_c", "agg"),
-        coord_transfer="int",
+        coord_transfer="packed",
     )
 
 

@@ -129,13 +129,17 @@ def _flagship_once(master: str, sf_dir: str) -> dict:
                        .raster_join(synth_points(spark, n_raster, 256),
                                     include_zero=False).collect())
     # secondary: the accurate fused hybrid join (Arrow kernel path);
-    # coord_transfer="int" — coordinates are integer microdegrees (int32-
-    # exact), halving the Arrow feed bytes, the measured bandwidth-
-    # dominant term at full width (BENCH/hybrid_rootcause.md). The same
-    # option is exact-gated by the driver (spatial_hybrid_count/sum).
+    # coord_transfer="packed" — both int32-exact microdegree coords in
+    # ONE int64 column: half the feed bytes of float64 AND half the
+    # per-row field count, the two measured full-width cost terms
+    # (BENCH/hybrid_rootcause.md; A/B at 400M: local[32] best 4.83s vs
+    # 5.99s for "int", local[8] 15.1 vs 13.5 — work moves from the
+    # contended JVM feed into the scalable numpy kernel, the right
+    # trade for wide clusters). The same option is exact-gated by the
+    # driver (spatial_hybrid_count/sum).
     t_hybrid = best_of(lambda: SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
                        .hybrid_join(synth_points(spark, n_hybrid, 256),
-                                    coord_transfer="int").collect())
+                                    coord_transfer="packed").collect())
     try:
         load1 = float(open("/proc/loadavg").read().split()[0])
     except OSError:

@@ -601,13 +601,17 @@ class SpatialJoin:
         (CPUJoin/CPUJoin.cpp:93-116) in Spark clothes. No JVM-side pair
         materialization, half the Arrow traffic of the join plan.
 
-        ``coord_transfer`` ("int" | "float" | None): the Arrow feed is
-        the bandwidth-dominant term at full machine width, so a caller
-        who KNOWS the coordinates are losslessly representable in a
-        narrower type (e.g. integer microdegrees, the engine's canonical
-        coordinate space, fit int32 exactly) can halve the transfer
-        bytes; the kernel always widens back to float64, so results are
-        bit-identical. Default None transfers the column's own type.
+        ``coord_transfer`` ("int" | "float" | "packed" | None): the
+        Arrow feed is the bandwidth-dominant term at full machine width,
+        so a caller who KNOWS the coordinates are losslessly
+        representable in a narrower type (e.g. integer microdegrees, the
+        engine's canonical coordinate space, fit int32 exactly) can
+        halve the transfer bytes ("int"), or additionally halve the
+        per-row FIELD count ("packed": both int32 coords in one int64
+        column — Spark's MapInBatch wrap cost is per field, see
+        BENCH/hybrid_rootcause.md); the kernel always widens back to
+        float64, so results are bit-identical. Default None transfers
+        the column's own type.
         """
         partials = self._arrow_partials(
             points, agg, use_interior=True, coord_transfer=coord_transfer
@@ -691,14 +695,26 @@ class SpatialJoin:
             verts, offsets = art["verts"], art["offsets"]
             for rb in batches:
                 names = rb.schema.names
-                x = np.asarray(
-                    rb.column(names.index(x_name)).to_numpy(zero_copy_only=False),
-                    dtype=np.float64,
-                )
-                y = np.asarray(
-                    rb.column(names.index(y_name)).to_numpy(zero_copy_only=False),
-                    dtype=np.float64,
-                )
+                if "_xy" in names:
+                    # packed transfer: ONE int64 column carries both int32
+                    # coords — Spark's MapInBatch wrap pays per FIELD, so
+                    # one field halves the dominant per-row feed cost;
+                    # unpack is two vectorized shifts (sign-extending)
+                    xy = np.asarray(
+                        rb.column(names.index("_xy")).to_numpy(zero_copy_only=False),
+                        dtype=np.int64,
+                    )
+                    x = ((xy << 32) >> 32).astype(np.float64)
+                    y = (xy >> 32).astype(np.float64)
+                else:
+                    x = np.asarray(
+                        rb.column(names.index(x_name)).to_numpy(zero_copy_only=False),
+                        dtype=np.float64,
+                    )
+                    y = np.asarray(
+                        rb.column(names.index(y_name)).to_numpy(zero_copy_only=False),
+                        dtype=np.float64,
+                    )
                 val = (
                     np.asarray(
                         rb.column(names.index(agg_col)).to_numpy(zero_copy_only=False),
@@ -765,7 +781,14 @@ class SpatialJoin:
         # unless the input is already coarser. On a real cluster this is
         # executors*cores; tasks then stream many Arrow batches each.
         target = max(self.spark.sparkContext.defaultParallelism, 1)
-        if coord_transfer:
+        if coord_transfer == "packed":
+            # both int32-exact coords in one int64: y in the high word,
+            # x (two's-complement) in the low — see the unpack in fn()
+            xy = F.shiftleft(F.col(y_name).cast("long"), 32).bitwiseOR(
+                F.col(x_name).cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+            )
+            src = points.select(xy.alias("_xy"), *cols[2:])
+        elif coord_transfer:
             src = points.select(
                 F.col(x_name).cast(coord_transfer).alias(x_name),
                 F.col(y_name).cast(coord_transfer).alias(y_name),

@@ -401,3 +401,19 @@ def test_float32_decision_diff():
     assert diff <= 20, f"f32/f64 decision diff unexpectedly large: {diff}"
     # stability pin: bump deliberately if the fixture changes
     assert diff == 1, f"recorded diff count changed: {diff}"
+
+
+def test_coord_transfer_modes_identical(spark, points_df, polyset, grid):
+    """int/packed/float64 transfer modes must be bit-identical — the
+    packed int64 (y<<32 | x&0xffffffff) round-trips negative x."""
+    from raster_join_spark.operators.spatial_join import AggSpec, SpatialJoin
+
+    sj = SpatialJoin(spark, polyset, grid)
+    base = sj.hybrid_join(points_df, AggSpec("sum", "val", "agg")).toPandas()
+    for mode in ("int", "packed"):
+        got = sj.hybrid_join(
+            points_df, AggSpec("sum", "val", "agg"), coord_transfer=mode
+        ).toPandas()
+        assert got.sort_values("poly_id", ignore_index=True).equals(
+            base.sort_values("poly_id", ignore_index=True)
+        ), mode
