@@ -63,6 +63,40 @@ def main() -> None:
         ),
     ]
 
+    sections += [
+        (
+            "Fused hybrid join with packed coordinate transfer",
+            "coord_transfer='packed': both int32-exact coords in ONE int64 "
+            "column (shiftleft/or, pure JVM) — half the Arrow feed bytes of "
+            "float64 and half the per-row field count "
+            "(BENCH/hybrid_rootcause.md). Same exchange shape as the fused "
+            "plan; results bit-identical (driver-gated).",
+            plan_of(
+                sj.hybrid_join(pts, include_zero=False, coord_transfer="packed")
+            ),
+        ),
+    ]
+
+    from raster_join_spark.operators.knn import knn_join_bulk
+
+    qdf = pts.filter((F.col("event_id") % 10) == 0).select(
+        F.col("event_id").alias("q_id"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+    )
+    sections += [
+        (
+            "Bulk kNN (set-oriented, J6 at table scale)",
+            "Each pending query explodes its probe disk JVM-side "
+            "(sequence x sequence -> cell ids), broadcast-joins the points "
+            "on cell_id, reduces to per-query top-k in-plan (map-side "
+            "combined collect_list -> array_sort -> slice; no Window), "
+            "certifies in-plan; union of per-round certified results stays "
+            "distributed.",
+            plan_of(knn_join_bulk(spark, pts, COARSE_GRID, qdf, 5, n_total=1000)),
+        ),
+    ]
+
     from raster_join_spark.operators.dedup import minhash_lsh_pairs, simhash
 
     docs_df = spark.read.parquet(f"{sf}/documents.parquet")
