@@ -56,10 +56,24 @@ T0, T1 = "2024-01-02 00:00:00", "2024-01-20 00:00:00"
 FILTER_WHERE = "lang = 'purchase' AND value_c > 2000"
 
 
+# memoized analyzed plan per (session, sf_dir): spark.sql re-parses and
+# re-analyzes the synthesis CTE on every call (~0.3-2s of pure DRIVER
+# time); the DataFrame's logical plan is immutable, so reusing it is the
+# moral equivalent of a prepared statement
+_POINTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raster_join_spark.sources.pages import points_df
 
-    return points_df(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    df = _POINTS_CACHE.get(key)
+    if df is None:
+        df = points_df(spark, sf_dir)
+        if len(_POINTS_CACHE) > 16:
+            _POINTS_CACHE.clear()
+        _POINTS_CACHE[key] = df
+    return df
 
 
 def _sj(spark: SparkSession, grid):
