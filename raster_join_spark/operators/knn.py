@@ -435,6 +435,7 @@ def radius_query(
     x: str = "x",
     y: str = "y",
     id_col: str = "event_id",
+    literal_cap: int = 65_536,
 ) -> DataFrame:
     """Ellipse radius query — the reference's getRegionPt primitive
     (CPUJoin/GridIndexF.cpp:177-198): probe the cell ring covering
@@ -444,23 +445,12 @@ def radius_query(
 
     Plan: enumerate covering cells per query on the driver (tiny),
     broadcast, hash-join on cell_id, native-expression ellipse filter —
-    all JVM-side.
-    """
-    rows = []
-    for q, qx, qy in queries:
-        stx, sty, enx, eny = grid.mbr_cell_range(qx - rx, qy - ry, qx + rx, qy + ry)
-        for yy in range(sty, eny):
-            for xx in range(stx, enx):
-                rows.append((q, xx + grid.nx * yy))
-    cand_cells = spark.createDataFrame(
-        rows,
-        T.StructType(
-            [
-                T.StructField("q_id", T.LongType(), False),
-                T.StructField("cell_id", T.LongType(), False),
-            ]
-        ),
-    )
+    all JVM-side. When the covering-cell table would exceed
+    ``literal_cap`` rows (a huge radius relative to the cell size —
+    knn_join's fine-grid hazard applies here too), the cell table is
+    skipped entirely: the tiny query list broadcasts against all points
+    and the ellipse filter alone selects — same rows, one full scan,
+    never a giant driver-built literal."""
     qlit = spark.createDataFrame(
         [(q, qx, qy) for q, qx, qy in queries],
         T.StructType(
@@ -474,10 +464,32 @@ def radius_query(
     pts = points.withColumn("cell_id", grid.cell_id_col(F.col(x), F.col(y))).filter(
         F.col("cell_id").isNotNull()
     )
-    cand = (
-        pts.join(F.broadcast(cand_cells), "cell_id", "inner")
-        .join(F.broadcast(qlit), "q_id", "inner")
-    )
+    spans = [
+        grid.mbr_cell_range(qx - rx, qy - ry, qx + rx, qy + ry)
+        for _, qx, qy in queries
+    ]
+    n_cells = sum((enx - stx) * (eny - sty) for stx, sty, enx, eny in spans)
+    if n_cells > literal_cap:
+        cand = pts.crossJoin(F.broadcast(qlit))
+    else:
+        rows = []
+        for (q, _, _), (stx, sty, enx, eny) in zip(queries, spans):
+            for yy in range(sty, eny):
+                for xx in range(stx, enx):
+                    rows.append((q, xx + grid.nx * yy))
+        cand_cells = spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("q_id", T.LongType(), False),
+                    T.StructField("cell_id", T.LongType(), False),
+                ]
+            ),
+        )
+        cand = (
+            pts.join(F.broadcast(cand_cells), "cell_id", "inner")
+            .join(F.broadcast(qlit), "q_id", "inner")
+        )
     ex = (F.col(x) - F.col("qx")) / F.lit(rx)
     ey = (F.col(y) - F.col("qy")) / F.lit(ry)
     return cand.filter(ex * ex + ey * ey <= F.lit(1.0)).select(

@@ -218,3 +218,33 @@ def test_knn_query_outside_dense_area(spark):
     d2 = (x - 10.0) ** 2 + (y - 10.0) ** 2
     exp = np.lexsort((np.arange(n), d2))[:3].tolist()
     assert got.sort_values("rank")["event_id"].tolist() == exp
+
+
+def test_radius_query_literal_cap_fallback(spark):
+    """A huge radius on a fine grid must NOT enumerate a giant cell
+    table — the fallback broadcasts the query list against all points
+    and returns identical rows."""
+    from raster_join_spark.operators.knn import radius_query
+
+    rng = np.random.RandomState(13)
+    n = 500
+    x = rng.uniform(0, 100_000, n).round()
+    y = rng.uniform(0, 100_000, n).round()
+    df = spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "x": x, "y": y})
+    )
+    grid = GridSpec(0.0, 0.0, 50.0, 50.0, 2000, 2000)  # 4M cells
+    queries = [(0, 20_000.0, 30_000.0), (1, 90_000.0, 10_000.0)]
+    rx = ry = 40_000.0  # covers ~2.6M cells -> must take the fallback
+    got = radius_query(spark, df, grid, queries, rx, ry).toPandas()
+    small = radius_query(
+        spark, df, grid, queries, rx, ry, literal_cap=10**9
+    ).toPandas()  # force the cell-table plan as the oracle
+    key = ["q_id", "event_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key, ignore_index=True),
+        small.sort_values(key, ignore_index=True),
+    )
+    for q, qx, qy in queries:
+        m = ((x - qx) / rx) ** 2 + ((y - qy) / ry) ** 2 <= 1.0
+        assert set(got[got.q_id == q]["event_id"]) == set(np.flatnonzero(m))
