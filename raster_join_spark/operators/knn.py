@@ -304,6 +304,15 @@ def knn_join_bulk(
 
     The per-round driver footprint is ONE count() per round (loop
     control); results never land on the driver.
+
+    Execution contract (round-4 verdict item 2): each round's probe
+    join runs EXACTLY ONCE. The per-round ``topk`` frame is persisted and
+    materialized by the loop-control count; both the certified and the
+    pending branch read that cache. The returned union is persisted and
+    eagerly materialized (bounded at O(q x k) small rows) before every
+    round cache and the point cache are released — so consuming the
+    result does NOT re-execute any probe join. Callers may ``unpersist``
+    the returned frame when done with it.
     """
     cell_min = min(grid.cell_w, grid.cell_h)
     if stats is None:
@@ -391,22 +400,19 @@ def knn_join_bulk(
         cand = pts.join(F.broadcast(disk), "cell_id", "inner").select(
             "q_id", F.col(id_col), dist2_col
         )
-        topk = pending.join(_topk(cand), "q_id", "left")
+        # ONE persisted frame per round, covering BOTH branches: the
+        # loop-control count below materializes it, so the certified
+        # filter and the next round's pending filter are cache reads —
+        # the expensive probe join executes exactly once per round
+        topk = pending.join(_topk(cand), "q_id", "left").persist()
+        kept.append(topk)
         done_cond = (F.size("top") >= k) & (
             F.element_at("top", k)["dist2"] <= F.lit(float((r * cell_min) ** 2))
         )
-        # certified frames stay persisted (q x k bounded) — they back the
-        # returned union; pending frames are loop-control only and are
-        # unpersisted below (recompute after unpersist is correctness-
-        # safe: the lineage re-executes from the source)
-        certified = topk.filter(done_cond).select("q_id", "top").persist()
-        results.append(_explode(certified))
-        nxt = (
-            topk.filter(~F.coalesce(done_cond, F.lit(False)))
-            .select("q_id", "qx", "qy", "qcx", "qcy")
-            .persist()
+        results.append(_explode(topk.filter(done_cond).select("q_id", "top")))
+        nxt = topk.filter(~F.coalesce(done_cond, F.lit(False))).select(
+            "q_id", "qx", "qy", "qcx", "qcy"
         )
-        kept.append(nxt)
         n_pending = nxt.count()  # the ONLY driver-side datum per round
         pending = nxt
         if n_pending == 0:
@@ -418,6 +424,11 @@ def knn_join_bulk(
     out = results[0]
     for df in results[1:]:
         out = out.unionByName(df)
+    # materialize the bounded O(q x k) result ONCE while the round caches
+    # are live, then release every intermediate cache — consumption of
+    # the returned frame is a cache read, never a probe-join re-run
+    out = out.persist()
+    out.count()
     for df in kept:
         df.unpersist(False)
     if cached:
@@ -436,6 +447,7 @@ def radius_query(
     y: str = "y",
     id_col: str = "event_id",
     literal_cap: int = 65_536,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Ellipse radius query — the reference's getRegionPt primitive
     (CPUJoin/GridIndexF.cpp:177-198): probe the cell ring covering
@@ -468,7 +480,15 @@ def radius_query(
         grid.mbr_cell_range(qx - rx, qy - ry, qx + rx, qy + ry)
         for _, qx, qy in queries
     ]
-    n_cells = sum((enx - stx) * (eny - sty) for stx, sty, enx, eny in spans)
+    # clamp each span: mbr_cell_range clamps lower bounds at 0 and upper
+    # at nx/ny, so a query MBR fully outside the grid yields a NEGATIVE
+    # span that must not offset another query's huge positive span and
+    # sneak past the cap
+    n_cells = sum(
+        max(0, enx - stx) * max(0, eny - sty) for stx, sty, enx, eny in spans
+    )
+    if stats is not None:
+        stats.update({"n_cells": n_cells, "fallback": n_cells > literal_cap})
     if n_cells > literal_cap:
         cand = pts.crossJoin(F.broadcast(qlit))
     else:

@@ -83,9 +83,13 @@ def _spark_type(np_dtype: np.dtype):
     kind = np_dtype.kind
     if kind == "b":
         return T.BooleanType()
-    if kind in ("i", "u"):
-        # u8 narrows to signed long (Spark has no unsigned); the
-        # reference's ids/timestamps never use the high bit
+    if kind == "u":
+        # Spark has no unsigned types: u4 must WIDEN to long (an int32
+        # mapping would wrap values >= 2^31 negative, e.g. taxi
+        # `duration`); u8 narrows to signed long — the reference's
+        # ids/timestamps never use the high bit
+        return T.LongType() if np_dtype.itemsize >= 4 else T.IntegerType()
+    if kind == "i":
         return T.LongType() if np_dtype.itemsize > 4 else T.IntegerType()
     if kind == "f":
         return T.DoubleType() if np_dtype.itemsize == 8 else T.FloatType()
@@ -144,9 +148,10 @@ def read_binary_records(
     """
     if os.path.isdir(path):
         paths = sorted(
-            os.path.join(path, f)
+            p
             for f in os.listdir(path)
             if not f.startswith((".", "_"))
+            and os.path.isfile(p := os.path.join(path, f))
         )
     else:
         paths = [path]
@@ -187,7 +192,9 @@ def read_binary_records(
                             arrays.append(
                                 pa.array(np.char.decode(col, "ascii").tolist())
                             )
-                        elif col.dtype.kind == "u" and col.dtype.itemsize == 8:
+                        elif col.dtype.kind == "u" and col.dtype.itemsize >= 4:
+                            # widen, matching _spark_type's LongType (u4
+                            # values >= 2^31 must not wrap)
                             arrays.append(pa.array(col.astype(np.int64)))
                         elif col.dtype.kind in ("i", "u") and col.dtype.itemsize <= 4:
                             arrays.append(pa.array(col.astype(np.int32)))

@@ -93,6 +93,45 @@ def test_twitter_roundtrip_directory(spark, tmp_path):
     assert out["loc_x"].to_numpy(np.float32)[0] == np.float32(-74.0)
 
 
+def test_u4_fields_do_not_wrap_negative(spark, tmp_path):
+    """ADVICE round 4: taxi `duration` is <u4 — values >= 2^31 that the
+    format legitimately supports must widen to LongType, not wrap
+    negative through int32."""
+    n = 16
+    big = np.array([2**31, 2**32 - 1, 2**31 + 7, 0] * (n // 4), dtype=np.uint32)
+    path = str(tmp_path / "taxi_u4.bin")
+    write_binary_records(
+        path,
+        TAXI_LAYOUT,
+        {"db_idx": np.arange(n, dtype=np.int64), "duration": big},
+    )
+    df = read_binary_records(spark, path, TAXI_LAYOUT, fields=["db_idx", "duration"])
+    assert dict(df.dtypes)["duration"] == "bigint"
+    out = df.toPandas().sort_values("db_idx", ignore_index=True)
+    np.testing.assert_array_equal(out["duration"].to_numpy(np.uint64), big)
+
+
+def test_directory_scan_skips_subdirs_and_partials(spark, tmp_path):
+    """ADVICE round 4: a subdirectory (or any non-file entry) inside the
+    data directory must be skipped, not treated as a record file."""
+    n = 50
+    write_binary_records(
+        str(tmp_path / "part0.bin"),
+        TWITTER_LAYOUT,
+        {
+            "user_id": np.arange(n, dtype=np.int64),
+            "time": np.full(n, 1_700_000_000),
+            "loc_x": np.full(n, -74.0, np.float32),
+            "loc_y": np.full(n, 40.7, np.float32),
+            "fav_ct": np.zeros(n, np.int32),
+            "rt_ct": np.zeros(n, np.int32),
+        },
+    )
+    (tmp_path / "nested_dir").mkdir()  # would raise in getsize/fromfile
+    out = read_binary_records(spark, str(tmp_path), TWITTER_LAYOUT).toPandas()
+    assert len(out) == n
+
+
 def test_unknown_field_rejected(spark, tmp_path):
     import pytest
 

@@ -203,6 +203,93 @@ def test_knn_bulk_sparse_forces_multi_round(spark):
         assert sub["event_id"].tolist() == exp, f"q={q}"
 
 
+def test_knn_bulk_no_reexecution_on_consume(spark):
+    """Round-4 verdict item 2: each round's probe join executes exactly
+    once — consuming the returned DataFrame (even repeatedly) must NOT
+    re-scan the point source. The source is wrapped in a counting
+    mapInArrow stage; after knn_join_bulk returns (it materializes the
+    persisted result internally), further consumption leaves the scan
+    counter untouched."""
+    from raster_join_spark.operators.knn import knn_join_bulk
+
+    rng = np.random.RandomState(51)
+    n, k = 60, 6
+    x = rng.uniform(900, 1000, n).round()
+    y = rng.uniform(900, 1000, n).round()
+    src = spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "x": x, "y": y})
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(it):
+        for rb in it:
+            acc.add(rb.num_rows)
+            yield rb
+
+    counted = src.mapInArrow(bump, src.schema)
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"q_id": np.array([0, 1], dtype=np.int64),
+             "qx": [5.0, 980.0], "qy": [5.0, 990.0]}
+        )
+    )
+    grid = GridSpec(0.0, 0.0, 10.0, 10.0, 100, 100)
+    stats: dict = {}
+    got = knn_join_bulk(spark, counted, grid, qdf, k, n_total=n, stats=stats)
+    assert stats["rounds"] >= 2, stats  # multi-round path actually ran
+    scans_after_build = acc.value
+    assert scans_after_build > 0
+    got.count()
+    out = got.toPandas()  # consume twice — still no source re-scan
+    assert acc.value == scans_after_build, (
+        f"result consumption re-executed the probe join: source rows "
+        f"scanned went {scans_after_build} -> {acc.value}"
+    )
+    for q, (qx_, qy_) in enumerate([(5.0, 5.0), (980.0, 990.0)]):
+        d2 = (x - qx_) ** 2 + (y - qy_) ** 2
+        exp = np.lexsort((np.arange(n), d2))[:k].tolist()
+        sub = out[out.q_id == q].sort_values("rank")
+        assert sub["event_id"].tolist() == exp, f"q={q}"
+    got.unpersist()
+
+
+def test_radius_query_offgrid_span_does_not_bypass_cap(spark):
+    """ADVICE round 4: a query MBR fully right/above the grid used to
+    yield a NEGATIVE clamped span that offset another query's huge
+    positive span and bypassed literal_cap. Spans must clamp at 0 per
+    query; rows must be identical either way."""
+    from raster_join_spark.operators.knn import radius_query
+
+    rng = np.random.RandomState(17)
+    n = 300
+    x = rng.uniform(0, 100_000, n).round()
+    y = rng.uniform(0, 100_000, n).round()
+    df = spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "x": x, "y": y})
+    )
+    grid = GridSpec(0.0, 0.0, 50.0, 50.0, 2000, 2000)
+    # q0: x far off-grid, y in-grid -> unclamped span is hugely NEGATIVE
+    # (neg x-span * pos y-span) and would offset q1's 2.56M-cell span
+    # right past the 65,536 cap; q1 alone demands the fallback
+    queries = [(0, 10_000_000.0, 50_000.0), (1, 50_000.0, 50_000.0)]
+    rx = ry = 40_000.0
+    stats: dict = {}
+    got = radius_query(spark, df, grid, queries, rx, ry, stats=stats).toPandas()
+    assert stats["fallback"], stats  # the clamp kept the guard honest
+    assert stats["n_cells"] > 65_536, stats
+    oracle = radius_query(
+        spark, df, grid, queries, rx, ry, literal_cap=10**9
+    ).toPandas()
+    key = ["q_id", "event_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key, ignore_index=True),
+        oracle.sort_values(key, ignore_index=True),
+    )
+    m = ((x - 50_000.0) / rx) ** 2 + ((y - 50_000.0) / ry) ** 2 <= 1.0
+    assert set(got[got.q_id == 1]["event_id"]) == set(np.flatnonzero(m))
+    assert (got.q_id == 0).sum() == 0  # off-grid query matches nothing
+
+
 def test_knn_query_outside_dense_area(spark):
     """Query in an empty corner: ring must expand several rounds and still
     return exact results."""
