@@ -450,6 +450,59 @@ def _q_index_f32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sj.index_join(_points(spark, sf_dir))
 
 
+def _q_hybrid_f32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """float32 parity for the FLAGSHIP path (round-4 verdict item 7):
+    the fused hybrid join at dtype=np.float32 under the same REAL-typed
+    DuckDB oracle as spatial_index_f32. This additionally pins the
+    f32 interior/boundary cell classification (the loop-form
+    classify_cells at float32): an interior-marked cell holding a point
+    whose f32 PIP disagrees would hash-mismatch here while the pure
+    per-point index gate stayed green. float32 mode never grid-refines
+    (classification must mirror the reference's decisions exactly)."""
+    import numpy as np
+
+    from raster_join_spark.fixtures import COARSE_GRID, ORACLE_POLYS
+    from raster_join_spark.operators.spatial_join import SpatialJoin
+
+    sj = SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID, dtype=np.float32)
+    return sj.hybrid_join(_points(spark, sf_dir))
+
+
+def _q_multi_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-collection catalog session (round-4 verdict item 8): write
+    BOTH fixture collections in the reference's polygon text format plus
+    its ``collectionName,fileName`` list file (PolyHandler.cpp:20-40,
+    133-176), parse them back through load_collections, and run the
+    exact hybrid count against each collection in ONE session — the
+    reference CLI's per-query collection switch. Result keys on the
+    collection name; the oracle recomputes both collections' counts
+    from the same vertex data, so a parse/round-trip defect in either
+    collection surfaces as a hash mismatch."""
+    import os
+
+    from raster_join_spark.fixtures import ALT_POLYS, COARSE_GRID, ORACLE_POLYS
+    from raster_join_spark.geo.polygons import load_collections
+    from raster_join_spark.operators.spatial_join import SpatialJoin
+
+    d = _tmpdir("rjs_collections_")
+    ORACLE_POLYS.save_text(os.path.join(d, "oracle16.txt"))
+    ALT_POLYS.save_text(os.path.join(d, "alt8.txt"))
+    with open(os.path.join(d, "polys.txt"), "w") as f:
+        f.write("oracle16,oracle16.txt\nalt8,alt8.txt\n")
+    catalog = load_collections(os.path.join(d, "polys.txt"))
+    assert set(catalog) == {"oracle16", "alt8"}
+
+    pts = _points(spark, sf_dir)
+    out = None
+    for cname in ("oracle16", "alt8"):
+        sj = SpatialJoin(spark, catalog[cname], COARSE_GRID)
+        part = sj.hybrid_join(pts).select(
+            F.lit(cname).alias("collection"), "poly_id", "agg"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def _q_ingest_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 parity adapter under the exact gate (round-3 verdict item 6):
     synthesize a reference-format 88-byte taxi record file
@@ -744,6 +797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_hybrid_poly4096": _q_hybrid_poly4096,
         "ingest_binary": _q_ingest_binary,
         "spatial_index_f32": _q_index_f32,
+        "spatial_hybrid_f32": _q_hybrid_f32,
+        "spatial_multi_collection": _q_multi_collection,
         "spatial_hybrid_sum": _q_hybrid_sum,
         "radius_ellipse": _q_radius,
         "quadkey_assign": _q_quadkey_assign,
@@ -798,6 +853,8 @@ def oracle_sql() -> dict[str, str]:
         "spatial_hybrid_poly4096": oracles.rect_hybrid_count_sql(RECT_SIDE),
         "ingest_binary": oracles.ingest_binary_sql(),
         "spatial_index_f32": oracles.index_count_f32_sql(),
+        "spatial_hybrid_f32": oracles.index_count_f32_sql(),
+        "spatial_multi_collection": oracles.multi_collection_sql(),
         "spatial_hybrid_sum": oracles.sum_sql(),
         "radius_ellipse": oracles.radius_sql(RADIUS_RX, RADIUS_RY),
         "quadkey_assign": oracles.quadkey_assign_sql(QK_ZOOM),

@@ -60,6 +60,27 @@ def oracle_polyset() -> PolygonSet:
 
 ORACLE_POLYS = oracle_polyset()
 
+
+def alt_polyset() -> PolygonSet:
+    """A second, disjointly-seeded collection for the multi-collection
+    catalog gate (the reference's per-query collection switch,
+    PolyHandler.cpp:20-40): 6 polygons over the US box + 2 in the hot
+    cluster, integer-rounded vertices like oracle16 so the generated
+    SQL oracle is bit-exact."""
+    wide = blob_polygons(6, X0, Y0, X1, Y1, n_verts=9, seed=303)
+    hot = blob_polygons(2, HOT_X0, HOT_Y0, HOT_X1, HOT_Y1, n_verts=6, seed=404)
+    polys = [
+        [(float(x), float(y)) for x, y in wide.poly_verts(p)]
+        for p in range(wide.n_polys)
+    ] + [
+        [(float(x), float(y)) for x, y in hot.poly_verts(p)]
+        for p in range(hot.n_polys)
+    ]
+    return _round_int(PolygonSet.from_list(polys), name="alt8")
+
+
+ALT_POLYS = alt_polyset()
+
 # ------------------------------------------ many-polygon scaling fixture
 
 # 64 x 64 = 4096 axis-aligned rectangles with half-unit-offset bounds:

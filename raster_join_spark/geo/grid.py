@@ -94,6 +94,22 @@ class GridSpec:
         cy = self.y0 + (yp.astype(np.float64) + 0.5) * self.cell_h
         return cx, cy
 
+    def refined(self, k: int) -> "GridSpec":
+        """The k x k refinement of this grid: same origin and extent,
+        every cell split into k x k subcells. Used by SpatialJoin's
+        internal classification grid for the tiny-polygon regime — a
+        finer classification grid restores the interior fast-path share
+        when polygons shrink below ~2 query cells (the regime where every
+        query-grid cell is a boundary cell and all points pay exact PIP;
+        the reference hits the same wall sweeping --polygonDataset,
+        experiments/results-paper/scalability/taxi-ooc-polygons.txt)."""
+        if k <= 1:
+            return self
+        return GridSpec(
+            self.x0, self.y0, self.cell_w / k, self.cell_h / k,
+            self.nx * k, self.ny * k,
+        )
+
     def mbr_cell_range(
         self, minx: float, miny: float, maxx: float, maxy: float
     ) -> tuple[int, int, int, int]:

@@ -26,6 +26,7 @@ class PolygonSet:
     offsets: np.ndarray  # (P+1,) int64
     name: str = "polys"
     _mbrs: np.ndarray | None = field(default=None, repr=False)
+    _cache_token: str | None = field(default=None, repr=False)
 
     # -- constructors ---------------------------------------------------
 
@@ -103,6 +104,23 @@ class PolygonSet:
                 m[p] = [pv[:, 0].min(), pv[:, 1].min(), pv[:, 0].max(), pv[:, 1].max()]
             self._mbrs = m
         return self._mbrs
+
+    @property
+    def cache_token(self) -> str:
+        """Content fingerprint for memoization keys. Classification and
+        broadcast-table caches MUST key on the geometry itself, not the
+        collection ``name`` — two differently-shaped sets sharing a name
+        (trivially easy: every generator has a default name) would
+        otherwise serve each other stale tables. md5 over the CSR bytes,
+        computed once per instance (a few MB even at 65k polygons)."""
+        if self._cache_token is None:
+            import hashlib
+
+            h = hashlib.md5()
+            h.update(np.ascontiguousarray(self.verts).tobytes())
+            h.update(np.ascontiguousarray(self.offsets).tobytes())
+            self._cache_token = h.hexdigest()
+        return self._cache_token
 
     @property
     def bbox(self) -> tuple[float, float, float, float]:

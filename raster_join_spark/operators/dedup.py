@@ -261,6 +261,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 1000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Banded LSH candidate pairs (doc_a < doc_b, deduped across bands).
 
@@ -279,8 +280,15 @@ def minhash_lsh_pairs(
     whose ONLY colliding band lands in a boilerplate bucket loses its
     candidacy. For near-dup dedup this is the standard trade (such pairs
     still collide in other bands with probability rising in their true
-    similarity); audit recall with the hot-bucket count:
-    ``buckets.groupBy(keys).count().filter(count > max_bucket)``.
+    similarity).
+
+    ``metrics`` (optional dict, round-4 verdict item 6): when provided
+    it is populated EAGERLY with the dropped-volume audit counters —
+    ``dropped_buckets`` (over-cap band buckets), ``dropped_memberships``
+    (band memberships lost), ``affected_docs`` (distinct docs with at
+    least one dropped membership; they can still pair via other bands).
+    Costs one extra aggregate job over the signature pipeline — opt-in
+    because the default path must stay one-pass.
     """
     assert k % bands == 0
     r = k // bands
@@ -302,6 +310,19 @@ def minhash_lsh_pairs(
         .filter(F.col("bsz") > max_bucket)
         .select(*keycols)
     )
+    if metrics is not None:
+        mrow = (
+            buckets.join(F.broadcast(hot), keycols, "inner")
+            .agg(
+                F.count_distinct(*[F.col(c) for c in keycols]).alias("b"),
+                F.count(F.lit(1)).alias("m"),
+                F.count_distinct(F.col(id_col)).alias("d"),
+            )
+            .collect()[0]
+        )
+        metrics["dropped_buckets"] = int(mrow["b"])
+        metrics["dropped_memberships"] = int(mrow["m"])
+        metrics["affected_docs"] = int(mrow["d"])
     buckets = buckets.join(F.broadcast(hot), keycols, "left_anti")
     a = buckets.alias("a")
     b = buckets.alias("b")

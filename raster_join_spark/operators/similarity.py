@@ -412,6 +412,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     dim: int | None = None,
     max_bucket: int = 2000,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket blocking with
     DEGENERATE buckets (more than ``max_bucket`` members — boilerplate
@@ -429,8 +430,12 @@ def embedding_neardup_pairs(
     boilerplate-hot loses candidacy (unlike minhash there is only ONE
     band here, so the drop is unrecoverable for that pair). Raise
     n_planes (finer buckets) or max_bucket if recall matters more than
-    the quadratic hot-bucket cost; audit dropped volume via the ``hot``
-    aggregate above."""
+    the quadratic hot-bucket cost.
+
+    ``metrics`` (optional dict, round-4 verdict item 6): populated
+    EAGERLY with ``dropped_buckets`` and ``affected_docs`` (each vector
+    hashes to exactly one bucket here, so affected docs == dropped
+    memberships). Costs one extra aggregate job — opt-in."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
@@ -448,6 +453,17 @@ def embedding_neardup_pairs(
         .filter(F.col("bsz") > max_bucket)
         .select("bucket")
     )
+    if metrics is not None:
+        mrow = (
+            base.join(F.broadcast(hot), "bucket", "inner")
+            .agg(
+                F.count_distinct(F.col("bucket")).alias("b"),
+                F.count_distinct(F.col(id_col)).alias("d"),
+            )
+            .collect()[0]
+        )
+        metrics["dropped_buckets"] = int(mrow["b"])
+        metrics["affected_docs"] = int(mrow["d"])
     capped = base.join(F.broadcast(hot), "bucket", "left_anti")
     a = capped.alias("a")
     b = capped.alias("b")

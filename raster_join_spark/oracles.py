@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from raster_join_spark.fixtures import (
+    ALT_POLYS,
     COARSE_GRID,
     FINE_GRID,
     KNN_K,
@@ -68,6 +69,23 @@ def index_count_f32_sql() -> str:
         "FROM points) "
         f"{body}"
     )
+
+
+def multi_collection_sql() -> str:
+    """Two-collection catalog query (reference PolyHandler.cpp:20-40
+    multi-collection list + per-query collection switch): per-polygon
+    exact counts for BOTH collections in one result, keyed by the
+    collection name. Same pip_sql arithmetic as every other exact gate."""
+    parts = []
+    for cname, ps in (("oracle16", ORACLE_POLYS), ("alt8", ALT_POLYS)):
+        for p in range(ps.n_polys):
+            pip = pip_sql("x", "y", ps.poly_verts(p))
+            parts.append(
+                f"SELECT '{cname}' AS collection, CAST({p} AS BIGINT) AS "
+                f"poly_id, count(*) AS agg FROM points WHERE {pip}"
+            )
+    body = "\nUNION ALL\n".join(parts)
+    return f"WITH {POINTS_CTE} {body}"
 
 
 def avg_sql() -> str:

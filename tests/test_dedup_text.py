@@ -244,3 +244,24 @@ def test_winnow_kernel_flat_equals_ref():
             ["i", "p", "f"], ignore_index=True
         )
         pd.testing.assert_frame_equal(da, db)
+
+
+def test_minhash_hot_bucket_metrics(spark, docs):
+    """Round-4 verdict item 6: the opt-in drop counters report how much
+    candidacy the hot-bucket guard sacrificed. Exact dups (docs 0/80/81)
+    share every band bucket, so max_bucket=2 makes each of their 16 band
+    buckets hot (3 > 2): 16 dropped buckets, 3*16 memberships, 3 docs."""
+    metrics: dict = {}
+    pairs = D.minhash_lsh_pairs(
+        docs, k=64, bands=16, shingle_w=2, max_bucket=2, metrics=metrics
+    ).toPandas()
+    assert metrics["dropped_buckets"] >= 16
+    assert metrics["affected_docs"] >= 3
+    assert metrics["dropped_memberships"] >= 48
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (0, 80) not in got  # the dup trio lost its (only) buckets
+    # counters are pure observation: same pair set as a metrics-less run
+    base = D.minhash_lsh_pairs(
+        docs, k=64, bands=16, shingle_w=2, max_bucket=2
+    ).toPandas()
+    assert got == set(zip(base.doc_a, base.doc_b))

@@ -128,10 +128,14 @@ def test_embedding_neardup_hot_bucket_cap(spark):
         ]
     )
     emb = spark.createDataFrame(rows, schema)
+    metrics: dict = {}
     dropped = S.embedding_neardup_pairs(
-        emb, n_planes=4, min_cos_x100=99, dim=16, max_bucket=10
+        emb, n_planes=4, min_cos_x100=99, dim=16, max_bucket=10, metrics=metrics
     ).toPandas()
     assert len(dropped) == 0  # hot bucket gone, not quadratically expanded
+    # the drop counters (round-4 verdict item 6): one boilerplate bucket,
+    # all 60 docs affected
+    assert metrics == {"dropped_buckets": 1, "affected_docs": 60}
     kept = S.embedding_neardup_pairs(
         emb, n_planes=4, min_cos_x100=99, dim=16, max_bucket=60
     ).toPandas()
