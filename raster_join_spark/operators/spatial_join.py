@@ -64,38 +64,38 @@ PIP_COL_MAX_POLYS = 512
 
 
 def _cell_csr(cells: np.ndarray, polys: np.ndarray, n_cells: int | None = None) -> dict:
-    """Sort (cell, poly) pairs by cell into a lookup. When the grid is
-    small enough (< ~32M cells) a DENSE (start, count) index addressed
-    directly by cell id gives ~3x faster lookups than searchsorted in
-    the hot kernel; otherwise falls back to the sparse binary-search
-    form. All components are width-minimized (int32 offsets/ids, uint32
-    counts) — pair counts and poly ids are far below 2^31 in any
-    broadcastable artifact, and at refined classification grids the
-    compaction halves a 100+ MB broadcast.
+    """Sort (cell, poly) pairs by cell into a lookup. ``starts`` is
+    sentinel-terminated (len(uniq)+1 entries), so per-group counts are
+    ``starts[i+1] - starts[i]`` — no separate counts array. When the
+    grid is small enough (< ~32M cells) a DENSE position index
+    (``dense_pos[cell] -> group index, -1 empty``; one int32 per cell)
+    replaces the searchsorted lookup in the hot kernel and the int64
+    ``cells`` array is dropped as redundant. Everything is
+    width-minimized (int32 positions/offsets/ids) — pair counts and
+    poly ids are far below 2^31 in any broadcastable artifact, and at
+    k-refined classification grids (millions of cells) the compact
+    layout roughly halves a 200+ MB broadcast vs a naive
+    (start, count)-per-cell pair of arrays plus duplicated sparse form.
     """
     order = np.argsort(cells, kind="stable")
     sc = cells[order]
     sp = polys[order]
     uniq, starts = np.unique(sc, return_index=True)
-    ends = np.r_[starts[1:], len(sc)]
     assert len(sp) < 2**31, "pair table exceeds int32 offset space"
     if len(sp) == 0 or int(sp.max()) < 2**31:
         sp = sp.astype(np.int32, copy=False)
-    starts32 = starts.astype(np.int32)
-    counts32 = (ends - starts).astype(np.uint32)
+    starts32 = np.append(starts, len(sc)).astype(np.int32)
     out = {
         "cells": uniq,
         "starts": starts32,
-        "counts": counts32,
         "polys": sp,
-        "dense": None,
+        "dense_pos": None,
     }
     if n_cells is not None and 0 < n_cells <= 32_000_000:
-        ds = np.zeros(n_cells, dtype=np.int32)
-        dc = np.zeros(n_cells, dtype=np.uint32)
-        ds[uniq] = starts32
-        dc[uniq] = counts32
-        out["dense"] = (ds, dc)
+        pos = np.full(n_cells, -1, dtype=np.int32)
+        pos[uniq] = np.arange(len(uniq), dtype=np.int32)
+        out["dense_pos"] = pos
+        out["cells"] = None  # redundant under the dense position index
     return out
 
 
@@ -103,27 +103,28 @@ def _csr_expand(csr: dict, cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """For each input row's cell, expand to (row_idx, poly_id) pairs for
     every polygon listed under that cell — fully vectorized, no Python
     loop over rows."""
-    if csr.get("dense") is not None:
-        ds, dc = csr["dense"]
-        valid = (cells >= 0) & (cells < len(ds))
-        cc = np.where(valid, cells, 0)
-        s = np.where(valid, ds[cc], 0).astype(np.int64)
-        counts = np.where(valid, dc[cc], 0).astype(np.int64)
-        rows0 = np.nonzero(counts > 0)[0]
+    starts_arr = csr["starts"]
+    if len(starts_arr) <= 1:  # empty table
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if csr.get("dense_pos") is not None:
+        dp = csr["dense_pos"]
+        valid = (cells >= 0) & (cells < len(dp))
+        pos = np.where(valid, dp[np.where(valid, cells, 0)], -1)
+        rows0 = np.nonzero(pos >= 0)[0]
         if len(rows0) == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        s = s[rows0]
-        counts = counts[rows0]
+        p = pos[rows0].astype(np.int64)
     else:
         uniq = csr["cells"]
         idx = np.searchsorted(uniq, cells)
         idx_c = np.clip(idx, 0, len(uniq) - 1)
-        hit = (len(uniq) > 0) & (uniq[idx_c] == cells) & (cells >= 0)
+        hit = (uniq[idx_c] == cells) & (cells >= 0)
         rows0 = np.nonzero(hit)[0]
         if len(rows0) == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        s = csr["starts"][idx_c[rows0]].astype(np.int64)
-        counts = csr["counts"][idx_c[rows0]].astype(np.int64)
+        p = idx_c[rows0].astype(np.int64)
+    s = starts_arr[p].astype(np.int64)
+    counts = (starts_arr[p + 1] - starts_arr[p]).astype(np.int64)
     tot = int(counts.sum())
     if tot == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
