@@ -110,10 +110,23 @@ def pip_candidates(
 
     Returns a boolean mask aligned with the input rows.
 
-    Rows are grouped by candidate polygon (one argsort), then each group
-    runs the edge-loop pip_mask — measured ~3x faster than a fully
-    vectorized padded-gather variant because the per-edge vectors stay
-    cache-resident and the division only runs on straddling rows.
+    Two physical forms, same bit-exact results (selection is purely a
+    performance heuristic):
+
+    - GROUPED (few distinct polygons, e.g. a 16-polygon fixture): rows
+      are grouped by candidate polygon (one argsort), each group runs
+      the edge-loop pip_mask with SCALAR vertices — the per-edge vectors
+      stay cache-resident and the division only runs on straddling rows.
+    - FLAT (many tiny groups, e.g. 65k polygons where each batch touches
+      thousands of polygons with a handful of rows each): one pass per
+      edge index per distinct vertex count, vectorized across ALL
+      candidate rows with GATHERED vertices — the grouped form's
+      per-group Python overhead (~µs/group) would dominate there
+      (measured 40µs/pair at 65k polygons, ~100x the flat form).
+
+    Both evaluate the identical elementwise IEEE expression in the same
+    order, so results are bit-equal to pip_mask and the SQL oracle at
+    either dtype.
     """
     px = np.asarray(px, dtype=dtype)
     py = np.asarray(py, dtype=dtype)
@@ -124,6 +137,9 @@ def pip_candidates(
     order = np.argsort(cand_poly, kind="stable")
     sorted_p = cand_poly[order]
     starts = np.nonzero(np.r_[True, sorted_p[1:] != sorted_p[:-1]])[0]
+    n_groups = len(starts)
+    if n_groups > 64 and len(px) < n_groups * 256:
+        return _pip_candidates_flat(px, py, cand_poly, verts, offsets, dtype)
     ends = np.r_[starts[1:], len(sorted_p)]
     for s, e in zip(starts, ends):
         p = int(sorted_p[s])
@@ -132,6 +148,53 @@ def pip_candidates(
         if len(pv) < 3:
             continue
         out[rows] = pip_mask(px[rows], py[rows], pv, dtype=dtype)
+    return out
+
+
+def _pip_candidates_flat(
+    px: np.ndarray,
+    py: np.ndarray,
+    cand_poly: np.ndarray,
+    verts: np.ndarray,
+    offsets: np.ndarray,
+    dtype=np.float64,
+) -> np.ndarray:
+    """The many-tiny-groups form of pip_candidates: rows bucketed by
+    their polygon's VERTEX COUNT (a handful of distinct values), then
+    one vectorized pass per edge index with per-row gathered vertices —
+    the batch-classifier technique (classify.py) applied to the PIP
+    kernel. Same elementwise IEEE sequence as pip_mask, including the
+    straddle-compressed division, so bit-equal at either dtype."""
+    vx = np.ascontiguousarray(verts[:, 0], dtype=dtype)
+    vy = np.ascontiguousarray(verts[:, 1], dtype=dtype)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    out = np.zeros(len(px), dtype=bool)
+    nv_per = np.diff(offsets)[cand_poly]
+    for nv in np.unique(nv_per):
+        nv = int(nv)
+        if nv < 3:
+            continue
+        sel = np.flatnonzero(nv_per == nv)
+        base = offsets[cand_poly[sel]]
+        xx, yy = px[sel], py[sel]
+        c = np.zeros(len(sel), dtype=bool)
+        j = nv - 1
+        for i in range(nv):
+            vix, viy = vx[base + i], vy[base + i]
+            vjx, vjy = vx[base + j], vy[base + j]
+            j = i
+            straddle = (viy > yy) != (vjy > yy)
+            idx = np.flatnonzero(straddle)
+            if len(idx) == 0:
+                continue
+            ys = yy[idx]
+            # (vjy - viy) != 0 whenever straddle holds — no div-by-zero
+            xcross = (
+                (vjx[idx] - vix[idx]) * (ys - viy[idx]) / (vjy[idx] - viy[idx])
+                + vix[idx]
+            )
+            c[idx] ^= xx[idx] < xcross
+        out[sel] = c
     return out
 
 
