@@ -609,26 +609,32 @@ class SpatialJoin:
         a full scan — the input is memory-cached whenever this runs (the
         auto rule's precondition), so the retry is one cheap cached
         pass and only small inputs ever take it."""
-        t = self.cls_tables
-        uniq, inv = np.unique(t.cls_cell, return_inverse=True)
-        nt = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
-        nb = np.bincount(
-            inv,
-            weights=(t.cls_kind == BOUNDARY).astype(np.float64),
-            minlength=len(uniq),
-        )
-        wdf = self.spark.createDataFrame(
-            pd.DataFrame(
-                {"cell_id": uniq.astype(np.int64), "_nb": nb, "_nt": nt}
-            ),
-            schema=T.StructType(
-                [
-                    T.StructField("cell_id", T.LongType(), False),
-                    T.StructField("_nb", T.DoubleType(), False),
-                    T.StructField("_nt", T.DoubleType(), False),
-                ]
-            ),
-        )
+        wkey = (id(self.spark), self.polyset.cache_token, self.grid, self._ck("wdf"))
+        wdf = self._PAIRS_CACHE.get(wkey)
+        if wdf is None:
+            t = self.cls_tables
+            uniq, inv = np.unique(t.cls_cell, return_inverse=True)
+            nt = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
+            nb = np.bincount(
+                inv,
+                weights=(t.cls_kind == BOUNDARY).astype(np.float64),
+                minlength=len(uniq),
+            )
+            wdf = self.spark.createDataFrame(
+                pd.DataFrame(
+                    {"cell_id": uniq.astype(np.int64), "_nb": nb, "_nt": nt}
+                ),
+                schema=T.StructType(
+                    [
+                        T.StructField("cell_id", T.LongType(), False),
+                        T.StructField("_nb", T.DoubleType(), False),
+                        T.StructField("_nt", T.DoubleType(), False),
+                    ]
+                ),
+            )
+            if len(self._PAIRS_CACHE) > 64:
+                self._PAIRS_CACHE.clear()
+            self._PAIRS_CACHE[wkey] = wdf
 
         def _scan(fr: float):
             src = points if fr >= 1.0 else points.sample(fraction=fr, seed=seed)
