@@ -442,3 +442,61 @@ def test_classify_65536_polygons_within_budget():
     dt = time.perf_counter() - t0
     assert dt < 60.0, f"classify took {dt:.1f}s"
     assert len(t.cls_kind) > 400_000  # sanity: the tables are real
+
+
+def test_pip_candidates_flat_equals_grouped():
+    """The flat (gathered-vertex, bucketed-by-vertex-count) PIP form must
+    be bit-equal to the per-group pip_mask loop at BOTH dtypes — it is
+    the same elementwise IEEE sequence, only the batching differs. Also
+    pins the auto-switch: many tiny groups take the flat path, few
+    groups keep the grouped path (both verified against pip_mask)."""
+    import numpy as np
+
+    from raster_join_spark.geo.pip import (
+        _pip_candidates_flat,
+        pip_candidates,
+        pip_mask,
+    )
+    from raster_join_spark.geo.polygons import PolygonSet
+
+    rng = np.random.RandomState(11)
+    polys = []
+    for _ in range(3000):
+        nv = rng.randint(3, 10)  # mixed vertex counts hit every bucket
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        cx, cy = rng.uniform(0, 1000, 2)
+        polys.append(
+            list(
+                zip(
+                    (cx + np.cos(ang) * rng.uniform(5, 30, nv)).tolist(),
+                    (cy + np.sin(ang) * rng.uniform(5, 30, nv)).tolist(),
+                )
+            )
+        )
+    ps = PolygonSet.from_list(polys, name="flat_eq")
+    n = 50_000
+    px = rng.uniform(0, 1000, n)
+    py = rng.uniform(0, 1000, n)
+    cand = rng.randint(0, len(polys), n).astype(np.int64)
+    for dt in (np.float64, np.float32):
+        ref = np.zeros(n, dtype=bool)
+        for p in np.unique(cand):
+            rows = np.flatnonzero(cand == p)
+            pv = ps.verts[ps.offsets[p] : ps.offsets[p + 1]]
+            ref[rows] = pip_mask(px[rows], py[rows], pv, dtype=dt)
+        flat = _pip_candidates_flat(
+            px.astype(dt), py.astype(dt), cand, ps.verts, ps.offsets, dt
+        )
+        auto = pip_candidates(px, py, cand, ps.verts, ps.offsets, dtype=dt)
+        assert np.array_equal(flat, ref), dt
+        assert np.array_equal(auto, ref), dt  # 3000 groups -> flat path
+    # few-group regime: auto keeps the grouped path, same answers
+    cand16 = (cand % 16).astype(np.int64)
+    ref16 = np.zeros(n, dtype=bool)
+    for p in range(16):
+        rows = np.flatnonzero(cand16 == p)
+        pv = ps.verts[ps.offsets[p] : ps.offsets[p + 1]]
+        ref16[rows] = pip_mask(px[rows], py[rows], pv)
+    assert np.array_equal(
+        pip_candidates(px, py, cand16, ps.verts, ps.offsets), ref16
+    )
