@@ -264,6 +264,88 @@ def knn_join(
             pts.unpersist()
 
 
+def _block_topk_by_cell(
+    probes: DataFrame,
+    pts: DataFrame,
+    k: int,
+    x: str,
+    y: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-cell block kNN: cogroup (q_id, qx, qy, cell_id) probes with
+    (cell_id, id, x, y) points and compute each probing query's top-k
+    WITHIN that cell's points vectorized in numpy — the Arrow transfer
+    is O(|probes| + |points|) rows and the output is <= k rows per
+    (query, cell), so hot-cell skew never materializes the quadratic
+    (query, candidate) pair set in the JVM (it runs as a chunked
+    distance matrix inside the block instead). Distance arithmetic is
+    the identical IEEE double sequence as the SQL oracle
+    ((x-qx)^2 + (y-qy)^2, exact integers in microdegree space); ties
+    break by (dist2, id), including PAST the kth slot (every candidate
+    tied with the kth distance is lexsorted before slicing), matching
+    the JVM array_sort merge bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    q_t = probes.schema["q_id"].dataType
+    id_t = pts.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", q_t, False),
+            T.StructField(id_col, id_t, False),
+            T.StructField("dist2", T.DoubleType(), False),
+        ]
+    )
+    empty = pd.DataFrame(
+        {
+            "q_id": pd.Series([], dtype="int64"),
+            id_col: pd.Series([], dtype="int64"),
+            "dist2": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        qx = left["qx"].to_numpy(np.float64)
+        qy = left["qy"].to_numpy(np.float64)
+        qid = left["q_id"].to_numpy()
+        px = right[x].to_numpy(np.float64)
+        py = right[y].to_numpy(np.float64)
+        pid = right[id_col].to_numpy()
+        npts = len(px)
+        kk = min(k, npts)
+        # chunk queries so the distance matrix stays ~tens of MB
+        chunk = max(1, 4_000_000 // npts)
+        oq, oi, od = [], [], []
+        for s in range(0, len(qx), chunk):
+            dx = qx[s : s + chunk, None] - px[None, :]
+            d2 = dx * dx
+            dy = qy[s : s + chunk, None] - py[None, :]
+            d2 += dy * dy
+            kth = np.partition(d2, kk - 1, axis=1)[:, kk - 1]
+            for i in range(d2.shape[0]):
+                cand = np.flatnonzero(d2[i] <= kth[i])
+                order = np.lexsort((pid[cand], d2[i][cand]))[:kk]
+                sel = cand[order]
+                oq.append(np.full(kk, qid[s + i]))
+                oi.append(pid[sel])
+                od.append(d2[i][sel])
+        return pd.DataFrame(
+            {
+                "q_id": np.concatenate(oq),
+                id_col: np.concatenate(oi),
+                "dist2": np.concatenate(od),
+            }
+        )
+
+    pts_sel = pts.select("cell_id", id_col, x, y)
+    probe_sel = probes.select("cell_id", "q_id", "qx", "qy")
+    return probe_sel.groupBy("cell_id").cogroup(
+        pts_sel.groupBy("cell_id")
+    ).applyInPandas(fn, out_schema)
+
+
 def knn_join_bulk(
     spark: SparkSession,
     points: DataFrame,
@@ -397,14 +479,35 @@ def knn_join_bulk(
                 (F.col("cx") + F.lit(grid.nx) * F.col("cy")).alias("cell_id"),
             )
         )
-        cand = pts.join(F.broadcast(disk), "cell_id", "inner").select(
-            "q_id", F.col(id_col), dist2_col
+        # per-cell BLOCK top-k instead of a raw candidate join: a
+        # broadcast join + collect_list materializes every (query,
+        # point-in-disk) pair in the JVM — under hot-cell skew that is
+        # O(|hot queries| x |hot points|) rows (measured 302M rows in
+        # round 1 at sf0.1, ~3.7M expected under uniformity) and the
+        # aggregation buffers all of it. Cogrouping probes and points by
+        # cell keeps the Arrow transfer at O(probes + points) rows; the
+        # quadratic distance work runs vectorized in numpy inside each
+        # cell block, and only <= k rows per (query, cell) ever reach
+        # the JVM merge. Per-cell top-k then global merge is exact
+        # (distributive top-k); ties break by (dist2, id) in BOTH the
+        # numpy block and the JVM merge, and the arithmetic is the same
+        # IEEE double sequence as dist2_col, so results are bit-equal
+        # to the join form.
+        # prune the point side to probed cells BEFORE the cogroup
+        # shuffle (the old broadcast join got this pruning implicitly):
+        # later rounds have few pending queries, so without this the
+        # full point table would re-shuffle every round. The distinct
+        # cell list is strictly smaller than the disk table the old
+        # plan already broadcast.
+        pts_round = pts.join(
+            F.broadcast(disk.select("cell_id").distinct()), "cell_id", "leftsemi"
         )
+        percell = _block_topk_by_cell(disk, pts_round, k, x, y, id_col)
         # ONE persisted frame per round, covering BOTH branches: the
         # loop-control count below materializes it, so the certified
         # filter and the next round's pending filter are cache reads —
-        # the expensive probe join executes exactly once per round
-        topk = pending.join(_topk(cand), "q_id", "left").persist()
+        # the expensive probe stage executes exactly once per round
+        topk = pending.join(_topk(percell), "q_id", "left").persist()
         kept.append(topk)
         done_cond = (F.size("top") >= k) & (
             F.element_at("top", k)["dist2"] <= F.lit(float((r * cell_min) ** 2))
