@@ -335,3 +335,50 @@ def test_radius_query_literal_cap_fallback(spark):
     for q, qx, qy in queries:
         m = ((x - qx) / rx) ** 2 + ((y - qy) / ry) ** 2 <= 1.0
         assert set(got[got.q_id == q]["event_id"]) == set(np.flatnonzero(m))
+
+
+def test_knn_bulk_hotcell_skew_block_kernel(spark):
+    """Round-5 skew fix: a hot cell shared by many queries and many
+    points must NOT materialize the (query, candidate) pair set in the
+    JVM (the old join+collect_list form buffered 302M rows at sf0.1).
+    2,000 points and 300 queries share one cell (~600k pairs under the
+    old plan); the probe stage must be the cogrouped block kernel with
+    the broadcast left-semi point pruning, and results must stay exact
+    vs numpy brute force INCLUDING duplicate-distance ties (lattice
+    coordinates force dist2 collisions; ties break by id)."""
+    from raster_join_spark.operators.knn import knn_join_bulk
+
+    rng = np.random.RandomState(77)
+    n, k = 2000, 5
+    # integer lattice inside the single cell [500,510)x[500,510) ->
+    # many exact dist2 ties across distinct event_ids
+    x = 500.0 + rng.randint(0, 10, n).astype(np.float64)
+    y = 500.0 + rng.randint(0, 10, n).astype(np.float64)
+    src = spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "x": x, "y": y})
+    )
+    nq = 300
+    qx = 500.0 + rng.randint(0, 10, nq).astype(np.float64)
+    qy = 500.0 + rng.randint(0, 10, nq).astype(np.float64)
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"q_id": np.arange(nq, dtype=np.int64), "qx": qx, "qy": qy}
+        )
+    )
+    grid = GridSpec(0.0, 0.0, 10.0, 10.0, 100, 100)
+    stats: dict = {}
+    got = knn_join_bulk(spark, src, grid, qdf, k, n_total=n, stats=stats)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsIn" in plan, plan[:2000]
+    assert "LeftSemi" in plan, plan[:2000]
+    out = got.toPandas()
+    assert not stats["exhaustive"], stats
+    assert len(out) == nq * k
+    ids = np.arange(n)
+    for q in range(nq):
+        d2 = (x - qx[q]) ** 2 + (y - qy[q]) ** 2
+        order = np.lexsort((ids, d2))[:k]
+        sub = out[out.q_id == q].sort_values("rank")
+        assert sub["event_id"].tolist() == order.tolist(), f"q={q}"
+        np.testing.assert_array_equal(sub["dist2"].to_numpy(), d2[order])
+    got.unpersist()
