@@ -323,14 +323,23 @@ def _block_topk_by_cell(
             d2 = dx * dx
             dy = qy[s : s + chunk, None] - py[None, :]
             d2 += dy * dy
+            # kth smallest per row, then select every candidate <= kth
+            # (ties at the kth slot included) and rank the WHOLE
+            # selected set with one global (row, dist2, id) lexsort —
+            # per-row segments come out contiguous and internally
+            # ordered, so the top-k is a strided gather. No per-row
+            # Python: the loop form cost ~10us x |probes| per round.
             kth = np.partition(d2, kk - 1, axis=1)[:, kk - 1]
-            for i in range(d2.shape[0]):
-                cand = np.flatnonzero(d2[i] <= kth[i])
-                order = np.lexsort((pid[cand], d2[i][cand]))[:kk]
-                sel = cand[order]
-                oq.append(np.full(kk, qid[s + i]))
-                oi.append(pid[sel])
-                od.append(d2[i][sel])
+            rows, cols = np.nonzero(d2 <= kth[:, None])
+            dsel = d2[rows, cols]
+            order = np.lexsort((pid[cols], dsel, rows))
+            rows, cols, dsel = rows[order], cols[order], dsel[order]
+            counts = np.bincount(rows, minlength=d2.shape[0])
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            take = (starts[:, None] + np.arange(kk)[None, :]).ravel()
+            oq.append(np.repeat(qid[s : s + chunk], kk))
+            oi.append(pid[cols[take]])
+            od.append(dsel[take])
         return pd.DataFrame(
             {
                 "q_id": np.concatenate(oq),
