@@ -283,7 +283,12 @@ def _block_topk_by_cell(
     ((x-qx)^2 + (y-qy)^2, exact integers in microdegree space); ties
     break by (dist2, id), including PAST the kth slot (every candidate
     tied with the kth distance is lexsorted before slicing), matching
-    the JVM array_sort merge bit-for-bit."""
+    the JVM array_sort merge bit-for-bit.
+
+    applyInPandas deliberately: the applyInArrow cogroup runner measured
+    ~2x SLOWER end-to-end on Spark 4.1.2 (knn_bulk sf0.1 7.5-9s -> ~18s,
+    identical numpy kernel) — the numeric arrow->pandas conversion is
+    not the bottleneck here."""
     import numpy as np
     import pandas as pd
 
