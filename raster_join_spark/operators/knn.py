@@ -267,30 +267,69 @@ def knn_join(
 def _block_topk_by_cell(
     probes: DataFrame,
     pts: DataFrame,
+    grid: GridSpec,
+    r: int,
     k: int,
     x: str,
     y: str,
     id_col: str,
+    tile: int | None = None,
 ) -> DataFrame:
-    """Per-cell block kNN: cogroup (q_id, qx, qy, cell_id) probes with
-    (cell_id, id, x, y) points and compute each probing query's top-k
-    WITHIN that cell's points vectorized in numpy — the Arrow transfer
-    is O(|probes| + |points|) rows and the output is <= k rows per
-    (query, cell), so hot-cell skew never materializes the quadratic
-    (query, candidate) pair set in the JVM (it runs as a chunked
-    distance matrix inside the block instead). Distance arithmetic is
-    the identical IEEE double sequence as the SQL oracle
-    ((x-qx)^2 + (y-qy)^2, exact integers in microdegree space); ties
-    break by (dist2, id), including PAST the kth slot (every candidate
-    tied with the kth distance is lexsorted before slicing), matching
-    the JVM array_sort merge bit-for-bit.
+    """Tile-blocked kNN: cogroup (q_id, qx, qy, cell_id) probes with
+    (cell_id, id, x, y) points by a TILE of cells and compute each
+    probing query's top-k within the tile vectorized in numpy — the
+    Arrow transfer is O(|probes| + |points|) rows and the output is
+    <= k rows per (query, tile), so hot-cell skew never materializes
+    the quadratic (query, candidate) pair set in the JVM (it runs as a
+    chunked distance matrix inside the block instead).
 
-    applyInPandas deliberately: the applyInArrow cogroup runner measured
-    ~2x SLOWER end-to-end on Spark 4.1.2 (knn_bulk sf0.1 7.5-9s -> ~18s,
-    identical numpy kernel) — the numeric arrow->pandas conversion is
-    not the bottleneck here."""
+    The tile exists ONLY to bound the number of cogroup groups on
+    very fine grids (the pandas cogroup runner pays ~0.5-1ms per
+    GROUP invocation, so per-cell groups on a multi-million-cell grid
+    would put millions of Python calls on the critical path). On
+    ordinary grids the auto rule degenerates to tile=1 == per-cell
+    grouping, which measured FASTER than any larger tile at sf0.1
+    because coarse tiles serialize the hot region's pair volume into
+    few Python calls. When a tile does hold multiple cells, the
+    kernel segments rows per cell internally and reduces to
+    <= k rows per (query, tile) before the JVM merge.
+
+    Distance arithmetic is the identical IEEE double sequence as the
+    SQL oracle ((x-qx)^2 + (y-qy)^2, exact integers in microdegree
+    space); the (dist2, id) order is total (ids unique), and both the
+    per-cell selection and the per-tile reduce rank by it, so
+    tile-partial top-k then JVM array_sort merge is bit-exact vs the
+    flat join form.
+
+    applyInPandas deliberately: the applyInArrow cogroup runner
+    measured ~2x SLOWER end-to-end on Spark 4.1.2 (identical numpy
+    kernel) — the numeric arrow->pandas conversion is not the
+    bottleneck."""
+    import math
+
     import numpy as np
     import pandas as pd
+
+    # tile side (in cells), auto: cap the GROUP COUNT at ~32k so a
+    # fine grid (e.g. 2048x2048 = 4.2M cells) cannot put millions of
+    # per-group Python invocations (~0.5-1ms each) on the critical
+    # path. Measured at sf0.1 (22k cells, hot-box skew): tile=1 is
+    # FASTEST (4-8s) and larger tiles are slower (8-11s) because a
+    # big tile concentrates the hot region's whole pair volume into
+    # one or two serialized Python calls — so tiling engages only
+    # when the group-count cap demands it, never to "amortize" on
+    # grids this size.
+    if tile is None:
+        tile = max(1, int(math.ceil(math.sqrt(grid.n_cells / 32768.0))))
+    nbx = (grid.nx + tile - 1) // tile
+
+    def bucket_col(cell):
+        cx = cell % F.lit(grid.nx)
+        cy = F.floor((cell - cx) / F.lit(grid.nx)).cast("long")
+        return (
+            F.floor(cx / F.lit(tile)).cast("long")
+            + F.lit(nbx) * F.floor(cy / F.lit(tile)).cast("long")
+        ).alias("tile_id")
 
     q_t = probes.schema["q_id"].dataType
     id_t = pts.schema[id_col].dataType
@@ -309,31 +348,20 @@ def _block_topk_by_cell(
         }
     )
 
-    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0 or len(right) == 0:
-            return empty
-        qx = left["qx"].to_numpy(np.float64)
-        qy = left["qy"].to_numpy(np.float64)
-        qid = left["q_id"].to_numpy()
-        px = right[x].to_numpy(np.float64)
-        py = right[y].to_numpy(np.float64)
-        pid = right[id_col].to_numpy()
+    def _cell_topk(qx, qy, qid, px, py, pid, acc):
+        """Exact per-(probe-row) top-k within one cell, fully
+        array-level: kth-smallest via partition, candidate mask (kth
+        ties included), one (row, dist2, id) lexsort of the selected
+        pairs, strided gather of the first k per contiguous row
+        segment."""
         npts = len(px)
         kk = min(k, npts)
-        # chunk queries so the distance matrix stays ~tens of MB
         chunk = max(1, 4_000_000 // npts)
-        oq, oi, od = [], [], []
         for s in range(0, len(qx), chunk):
             dx = qx[s : s + chunk, None] - px[None, :]
             d2 = dx * dx
             dy = qy[s : s + chunk, None] - py[None, :]
             d2 += dy * dy
-            # kth smallest per row, then select every candidate <= kth
-            # (ties at the kth slot included) and rank the WHOLE
-            # selected set with one global (row, dist2, id) lexsort —
-            # per-row segments come out contiguous and internally
-            # ordered, so the top-k is a strided gather. No per-row
-            # Python: the loop form cost ~10us x |probes| per round.
             kth = np.partition(d2, kk - 1, axis=1)[:, kk - 1]
             rows, cols = np.nonzero(d2 <= kth[:, None])
             dsel = d2[rows, cols]
@@ -342,21 +370,99 @@ def _block_topk_by_cell(
             counts = np.bincount(rows, minlength=d2.shape[0])
             starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
             take = (starts[:, None] + np.arange(kk)[None, :]).ravel()
-            oq.append(np.repeat(qid[s : s + chunk], kk))
-            oi.append(pid[cols[take]])
-            od.append(dsel[take])
+            acc[0].append(np.repeat(qid[s : s + chunk], kk))
+            acc[1].append(pid[cols[take]])
+            acc[2].append(dsel[take])
+
+    def fn_single(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # tile == 1: the group IS one cell — no segmentation, no
+        # per-tile reduce (each probe row already yields exactly one
+        # <= k selection). This is the hot path on ordinary grids.
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        acc: tuple = ([], [], [])
+        _cell_topk(
+            left["qx"].to_numpy(np.float64),
+            left["qy"].to_numpy(np.float64),
+            left["q_id"].to_numpy(),
+            right[x].to_numpy(np.float64),
+            right[y].to_numpy(np.float64),
+            right[id_col].to_numpy(),
+            acc,
+        )
         return pd.DataFrame(
             {
-                "q_id": np.concatenate(oq),
-                id_col: np.concatenate(oi),
-                "dist2": np.concatenate(od),
+                "q_id": np.concatenate(acc[0]),
+                id_col: np.concatenate(acc[1]),
+                "dist2": np.concatenate(acc[2]),
             }
         )
 
-    pts_sel = pts.select("cell_id", id_col, x, y)
-    probe_sel = probes.select("cell_id", "q_id", "qx", "qy")
-    return probe_sel.groupBy("cell_id").cogroup(
-        pts_sel.groupBy("cell_id")
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        lcell = left["cell_id"].to_numpy()
+        lo = np.argsort(lcell, kind="stable")
+        lcell = lcell[lo]
+        qx = left["qx"].to_numpy(np.float64)[lo]
+        qy = left["qy"].to_numpy(np.float64)[lo]
+        qid = left["q_id"].to_numpy()[lo]
+        rcell = right["cell_id"].to_numpy()
+        ro = np.argsort(rcell, kind="stable")
+        rcell = rcell[ro]
+        px = right[x].to_numpy(np.float64)[ro]
+        py = right[y].to_numpy(np.float64)[ro]
+        pid = right[id_col].to_numpy()[ro]
+        lcells, lstarts = np.unique(lcell, return_index=True)
+        rcells, rstarts = np.unique(rcell, return_index=True)
+        lends = np.append(lstarts[1:], len(lcell))
+        rends = np.append(rstarts[1:], len(rcell))
+        common, li, ri = np.intersect1d(
+            lcells, rcells, assume_unique=True, return_indices=True
+        )
+        if len(common) == 0:
+            return empty
+        acc: tuple = ([], [], [])
+        for j in range(len(common)):
+            ls, le = lstarts[li[j]], lends[li[j]]
+            rs, re = rstarts[ri[j]], rends[ri[j]]
+            _cell_topk(
+                qx[ls:le], qy[ls:le], qid[ls:le],
+                px[rs:re], py[rs:re], pid[rs:re], acc,
+            )
+        aq = np.concatenate(acc[0])
+        ai = np.concatenate(acc[1])
+        ad = np.concatenate(acc[2])
+        # reduce to per-query top-k WITHIN this tile before anything
+        # reaches the JVM: (query, dist2, id) lexsort, then the first
+        # min(k, segment) of each contiguous query segment
+        order = np.lexsort((ai, ad, aq))
+        aq, ai, ad = aq[order], ai[order], ad[order]
+        _, qstarts = np.unique(aq, return_index=True)
+        qends = np.append(qstarts[1:], len(aq))
+        lens = np.minimum(qends - qstarts, k)
+        flat = np.arange(lens.sum()) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        take = np.repeat(qstarts, lens) + flat
+        return pd.DataFrame(
+            {"q_id": aq[take], id_col: ai[take], "dist2": ad[take]}
+        )
+
+    if tile == 1:
+        pts_sel = pts.select("cell_id", id_col, x, y)
+        probe_sel = probes.select("cell_id", "q_id", "qx", "qy")
+        return probe_sel.groupBy("cell_id").cogroup(
+            pts_sel.groupBy("cell_id")
+        ).applyInPandas(fn_single, out_schema)
+    pts_sel = pts.select(
+        bucket_col(F.col("cell_id")), "cell_id", id_col, x, y
+    )
+    probe_sel = probes.select(
+        bucket_col(F.col("cell_id")), "cell_id", "q_id", "qx", "qy"
+    )
+    return probe_sel.groupBy("tile_id").cogroup(
+        pts_sel.groupBy("tile_id")
     ).applyInPandas(fn, out_schema)
 
 
@@ -516,7 +622,7 @@ def knn_join_bulk(
         pts_round = pts.join(
             F.broadcast(disk.select("cell_id").distinct()), "cell_id", "leftsemi"
         )
-        percell = _block_topk_by_cell(disk, pts_round, k, x, y, id_col)
+        percell = _block_topk_by_cell(disk, pts_round, grid, r, k, x, y, id_col)
         # ONE persisted frame per round, covering BOTH branches: the
         # loop-control count below materializes it, so the certified
         # filter and the next round's pending filter are cache reads —

@@ -6,6 +6,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from pyspark.sql.functions import col as F_col
+
 from raster_join_spark.geo.grid import GridSpec
 from raster_join_spark.operators.knn import knn_join
 
@@ -382,3 +384,62 @@ def test_knn_bulk_hotcell_skew_block_kernel(spark):
         assert sub["event_id"].tolist() == order.tolist(), f"q={q}"
         np.testing.assert_array_equal(sub["dist2"].to_numpy(), d2[order])
     got.unpersist()
+
+
+def test_block_kernel_tiled_equals_single_cell(spark):
+    """The fine-grid group-count cap switches the block kernel to
+    tile>1 grouping (segmented cells + per-tile reduce). After the
+    global per-query merge, every tile setting must agree with the
+    tile=1 hot path and with numpy brute force — including ties."""
+    from raster_join_spark.operators.knn import _block_topk_by_cell
+
+    rng = np.random.RandomState(99)
+    n, k, nq = 1500, 4, 120
+    x = rng.randint(0, 400, n).astype(np.float64)
+    y = rng.randint(0, 400, n).astype(np.float64)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "x": x, "y": y})
+    )
+    grid = GridSpec(0.0, 0.0, 10.0, 10.0, 40, 40)
+    pts = pts.withColumn(
+        "cell_id", grid.cell_id_col(F_col("x"), F_col("y"))
+    ).filter(F_col("cell_id").isNotNull())
+    qx = rng.randint(0, 400, nq).astype(np.float64)
+    qy = rng.randint(0, 400, nq).astype(np.float64)
+    # probe disk r=1 around each query cell, clamped to the grid
+    rows = []
+    r = 1
+    for q in range(nq):
+        cx0, cy0 = int(qx[q] // 10), int(qy[q] // 10)
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                cx, cy = cx0 + dx, cy0 + dy
+                if 0 <= cx < 40 and 0 <= cy < 40:
+                    rows.append((q, qx[q], qy[q], cx + 40 * cy))
+    probes = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["q_id", "qx", "qy", "cell_id"])
+    )
+
+    def merged(tile):
+        out = _block_topk_by_cell(
+            probes, pts, grid, r, k, "x", "y", "event_id", tile=tile
+        ).toPandas()
+        res = {}
+        for q, g in out.groupby("q_id"):
+            gg = g.sort_values(["dist2", "event_id"]).head(k)
+            res[q] = list(zip(gg["event_id"], gg["dist2"]))
+        return res
+
+    base = merged(1)
+    ids = np.arange(n)
+    for q in range(nq):
+        # brute force over the probed cells only (the kernel's scope)
+        cells = {c for (qq, _, _, c) in rows if qq == q}
+        pc = (x // 10).astype(int) + 40 * (y // 10).astype(int)
+        m = np.isin(pc, list(cells))
+        d2 = (x[m] - qx[q]) ** 2 + (y[m] - qy[q]) ** 2
+        order = np.lexsort((ids[m], d2))[: min(k, m.sum())]
+        exp = list(zip(ids[m][order], d2[order]))
+        assert base.get(q, []) == exp, f"q={q}"
+    for tile in (3, 7, 40):
+        assert merged(tile) == base, f"tile={tile}"
