@@ -198,7 +198,15 @@ def _kernel_scaling_md() -> str:
     sound = [r for r in rows if 0 < r["scaling_efficiency"] <= 1.05]
     excluded = [r["scaling_efficiency"] for r in rows if r not in sound]
     if not sound:
-        return ""
+        # keep the exclusion on the record even when NOTHING survives —
+        # silently dropping the section would hide that samples exist
+        # but were all storm-contaminated
+        return (
+            "## Kernel-level scaling (auxiliary evidence)\n\n"
+            f"All {len(rows)} recorded kernel samples were excluded as "
+            f">1.05 noise artifacts: {excluded}. No sound sample to "
+            "report this round.\n\n"
+        )
     best = max(sound, key=lambda r: min(r["scaling_efficiency"], 1.0))
     return (
         "## Kernel-level scaling (auxiliary evidence)\n\n"
@@ -488,7 +496,7 @@ def run_poly_sweep() -> dict:
     from raster_join_spark.geo.polygons import blob_polygons
     from raster_join_spark.geo.classify import classify_cells
     from raster_join_spark.fixtures import FINE_GRID, X0, X1, Y0, Y1
-    from raster_join_spark.operators.spatial_join import SpatialJoin, _cell_csr
+    from raster_join_spark.operators.spatial_join import SpatialJoin
 
     spark = get_spark(app_name="rjs-polys")
     n_pts = int(os.environ.get("SPARK_GRAFT_SWEEP_N", "20000000"))
@@ -515,15 +523,10 @@ def run_poly_sweep() -> dict:
         t0 = time.perf_counter()
         ct = sj.cls_tables
         t_classify_r = time.perf_counter() - t0
-        ic, ip = ct.interior_pairs()
-        bc, bp, _, _ = ct.boundary_pairs()
-        art = {
-            "interior": _cell_csr(ic, ip, sj.cls_grid.n_cells),
-            "boundary": _cell_csr(bc, bp, sj.cls_grid.n_cells),
-            "verts": polyset.verts,
-            "offsets": polyset.offsets,
-        }
-        bbytes = len(pickle.dumps(art, protocol=4))
+        # weigh the EXACT artifact dict the kernel broadcasts (shared
+        # builder — a hand-rebuilt copy here could silently drift from
+        # what the fused plan actually ships)
+        bbytes = len(pickle.dumps(sj._bc_art_dict(), protocol=4))
         res = {
             "classify_sec": round(t_classify, 3),
             "classify_refined_sec": round(t_classify_r, 3),

@@ -93,11 +93,17 @@ class PolyGridTables:
         wc, wv = cell_weights
         wc = np.asarray(wc, np.int64)
         wv = np.asarray(wv, np.float64)
+        if len(wc) == 0:
+            # empty histogram: the `&` below is bitwise (both operands
+            # evaluate), so wc[idx_c] would IndexError — take the
+            # documented "histogram missed everything" fallback directly
+            nb = int((self.cls_kind == BOUNDARY).sum())
+            return nb / max(len(self.cls_kind), 1)
         order = np.argsort(wc)
         wc, wv = wc[order], wv[order]
         idx = np.searchsorted(wc, self.cls_cell)
-        idx_c = np.clip(idx, 0, max(len(wc) - 1, 0))
-        hit = (len(wc) > 0) & (wc[idx_c] == self.cls_cell)
+        idx_c = np.clip(idx, 0, len(wc) - 1)
+        hit = wc[idx_c] == self.cls_cell
         w = np.where(hit, wv[idx_c], 0.0)
         tot = float(w.sum())
         if tot <= 0:
@@ -560,20 +566,17 @@ def classify_cells(
     )
 
 
-def classify_cells_light(grid: GridSpec, polyset: PolygonSet) -> PolyGridTables:
-    """Interior/boundary tables WITHOUT area fractions — the variant the
-    hybrid paths' internal refinement grids build (fractions are an
-    error-bounds-only concern; skipping Sutherland–Hodgman is the
-    difference between seconds and minutes at refined pair counts)."""
-    return classify_cells(grid, polyset, with_frac=False)
-
-
 class PolyGridCache:
     """Memoize classification per (collection content, grid) — the
     reference rebuilds per query (GLFunction.cpp:65-156); we build once.
     Keys use :attr:`PolygonSet.cache_token` (a geometry fingerprint),
     never the collection name: same-named, differently-shaped sets must
     not serve each other stale tables."""
+
+    # refined-grid entries can reach ~REFINE_COVER_BUDGET pairs
+    # (~hundreds of MB); bound the cache like _PAIRS_CACHE/_BC_CACHE so
+    # a long session sweeping collections/grids can't grow without limit
+    MAX_ENTRIES = 12
 
     def __init__(self) -> None:
         self._cache: dict[tuple, PolyGridTables] = {}
@@ -591,10 +594,14 @@ class PolyGridCache:
         if not with_frac:
             lkey = (polyset.cache_token, grid, np.dtype(dtype).char, False)
             if lkey not in self._cache:
+                if len(self._cache) >= self.MAX_ENTRIES:
+                    self._cache.clear()
                 self._cache[lkey] = classify_cells(
                     grid, polyset, dtype=dtype, with_frac=False
                 )
             return self._cache[lkey]
+        if len(self._cache) >= self.MAX_ENTRIES:
+            self._cache.clear()
         self._cache[key] = classify_cells(grid, polyset, dtype=dtype)
         return self._cache[key]
 

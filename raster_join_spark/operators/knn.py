@@ -268,7 +268,6 @@ def _block_topk_by_cell(
     probes: DataFrame,
     pts: DataFrame,
     grid: GridSpec,
-    r: int,
     k: int,
     x: str,
     y: str,
@@ -622,7 +621,7 @@ def knn_join_bulk(
         pts_round = pts.join(
             F.broadcast(disk.select("cell_id").distinct()), "cell_id", "leftsemi"
         )
-        percell = _block_topk_by_cell(disk, pts_round, grid, r, k, x, y, id_col)
+        percell = _block_topk_by_cell(disk, pts_round, grid, k, x, y, id_col)
         # ONE persisted frame per round, covering BOTH branches: the
         # loop-control count below materializes it, so the certified
         # filter and the next round's pending filter are cache reads —

@@ -307,21 +307,25 @@ class SpatialJoin:
         )
         bc = self._BC_CACHE.get(key)
         if bc is None:
-            t = self.cls_tables
-            int_c, int_p = t.interior_pairs()
-            b_c, b_p, _, _ = t.boundary_pairs()
-            bc = self.spark.sparkContext.broadcast(
-                {
-                    "interior": _cell_csr(int_c, int_p, self.cls_grid.n_cells),
-                    "boundary": _cell_csr(b_c, b_p, self.cls_grid.n_cells),
-                    "verts": self.polyset.verts,
-                    "offsets": self.polyset.offsets,
-                }
-            )
+            bc = self.spark.sparkContext.broadcast(self._bc_art_dict())
             if len(self._BC_CACHE) > 16:
                 self._BC_CACHE.clear()
             self._BC_CACHE[key] = bc
         return bc
+
+    def _bc_art_dict(self) -> dict:
+        """The artifact value behind :meth:`_bc_art` — exposed so size
+        measurement (bench.py's polygon sweep) weighs the EXACT dict the
+        kernel ships, not a hand-rebuilt copy that could drift."""
+        t = self.cls_tables
+        int_c, int_p = t.interior_pairs()
+        b_c, b_p, _, _ = t.boundary_pairs()
+        return {
+            "interior": _cell_csr(int_c, int_p, self.cls_grid.n_cells),
+            "boundary": _cell_csr(b_c, b_p, self.cls_grid.n_cells),
+            "verts": self.polyset.verts,
+            "offsets": self.polyset.offsets,
+        }
 
     def _pairs_df(
         self,
@@ -688,7 +692,11 @@ class SpatialJoin:
         if row["n"] < self.MIN_SAMPLE_PTS and fraction < 1.0:
             row = _scan(1.0)
         if not row["nt"]:
-            return t.boundary_fraction()
+            # sample missed every covered cell: fall back to the
+            # data-independent pair-count ratio (self.cls_tables, NOT a
+            # local from the cache-miss branch — the weight table is
+            # usually served from _PAIRS_CACHE and that branch never ran)
+            return self.cls_tables.boundary_fraction()
         return float(row["nb"]) / float(row["nt"])
 
     def hybrid_join(

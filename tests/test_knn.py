@@ -422,7 +422,7 @@ def test_block_kernel_tiled_equals_single_cell(spark):
 
     def merged(tile):
         out = _block_topk_by_cell(
-            probes, pts, grid, r, k, "x", "y", "event_id", tile=tile
+            probes, pts, grid, k, "x", "y", "event_id", tile=tile
         ).toPandas()
         res = {}
         for q, g in out.groupby("q_id"):

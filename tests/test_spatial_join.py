@@ -527,3 +527,59 @@ def test_boundary_fraction_cell_weights():
     # a histogram that misses every covered cell falls back to pair counts
     miss = t.boundary_fraction(cell_weights=(np.array([10**9]), np.array([5.0])))
     assert miss == base
+
+
+def test_boundary_fraction_empty_histogram():
+    """An EMPTY histogram (zero sampled cells) must take the pair-count
+    fallback, not IndexError — `&` is bitwise, so the old guard
+    evaluated wc[idx_c] on a size-0 array before the length check."""
+    from raster_join_spark.geo.classify import classify_cells
+
+    ps = blob_polygons(4, 0, 0, 100, 100, n_verts=8, seed=3)
+    g = GridSpec(0.0, 0.0, 5.0, 5.0, 20, 20)
+    t = classify_cells(g, ps)
+    base = t.boundary_fraction()
+    got = t.boundary_fraction(
+        cell_weights=(np.array([], np.int64), np.array([], np.float64))
+    )
+    assert got == base
+
+
+def test_sampled_boundary_fraction_cached_table_disjoint_points(spark, polyset):
+    """The weight table is usually served from _PAIRS_CACHE; when the
+    sample (and the full-scan retry) then lands ZERO covered points,
+    the fallback must use self.cls_tables — the old code referenced a
+    local bound only in the cache-miss branch and raised NameError."""
+    fine = GridSpec(0.0, 0.0, 5.0, 5.0, 200, 200)
+    sj = SpatialJoin(spark, polyset, fine)
+
+    rng = np.random.RandomState(23)
+    inside = spark.createDataFrame(
+        pd.DataFrame(
+            {"x": rng.uniform(0, 1000, 500), "y": rng.uniform(0, 1000, 500)}
+        )
+    ).persist()
+    # far outside every polygon-covered cell but inside the grid extent
+    # is impossible for this fixture, so use coords beyond the polygons'
+    # reach within the grid: the corner region [990, 1000)^2 may still
+    # touch covered cells, so go fully off-polygon via y in the empty band
+    outside = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "x": np.full(300, -50.0),  # off-grid -> cell_id NULL
+                "y": np.full(300, -50.0),
+            }
+        )
+    ).persist()
+    try:
+        inside.count(), outside.count()
+        # first call populates _PAIRS_CACHE (cache-miss branch binds t)
+        sj._sampled_boundary_fraction(inside)
+        # second call on a fresh SpatialJoin hits the cache; zero covered
+        # points -> must fall back to the pair-count ratio, not NameError
+        sj2 = SpatialJoin(spark, polyset, fine)
+        got = sj2._sampled_boundary_fraction(outside)
+        assert got == sj2.cls_tables.boundary_fraction()
+    finally:
+        inside.unpersist()
+        outside.unpersist()
