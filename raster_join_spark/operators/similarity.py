@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot_expr(col: str, q: np.ndarray) -> Column:
@@ -437,7 +438,24 @@ def embedding_neardup_pairs(
     hashes to exactly one bucket here, so affected docs == dropped
     memberships). Costs one extra aggregate job — opt-in."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        row = emb.select(vec_col).first()  # one extra job; pass dim to skip
+        if row is None or row[0] is None:
+            # empty input (or null vector in row 1): no pairs by
+            # definition — return an empty typed frame instead of
+            # crashing on len(None)
+            if metrics is not None:
+                metrics.update({"dropped_buckets": 0, "affected_docs": 0})
+            return emb.sparkSession.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("id_a", T.LongType(), False),
+                        T.StructField("id_b", T.LongType(), False),
+                        T.StructField("cos_u6", T.LongType(), False),
+                    ]
+                ),
+            )
+        dim = len(row[0])
     planes = _hyperplanes(dim, n_planes, seed)
     thresh = min_cos_x100 / 100.0
     nrm_raw = F.sqrt(_self_dot_expr(vec_col, dim))

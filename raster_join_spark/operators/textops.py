@@ -83,7 +83,7 @@ def quality_score_sql() -> str:
     return f"""
 SELECT doc_id,
        len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
-       CAST({stop} AS BIGINT) AS stop_hits,
+       CAST(floor({stop}) AS BIGINT) AS stop_hits,
        CAST(length(text) AS DOUBLE)
          / len(list_filter(string_split(text, ' '), t -> t <> '')) AS avg_token_len
 FROM documents

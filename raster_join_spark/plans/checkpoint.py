@@ -24,6 +24,7 @@ fused join path already uses.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import time
@@ -74,7 +75,11 @@ class CheckpointedJob:
 
     def completed_units(self) -> set[str]:
         d = self._lineage_dir()
-        if not os.path.isdir(d):
+        # glob, not isdir: a crash between makedirs and the first unit's
+        # lineage write leaves an empty directory, and read.parquet on
+        # zero files raises instead of meaning "nothing completed"
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        if not files:
             return set()
         df = self.spark.read.parquet(d)
         return {r["unit"] for r in df.select("unit").distinct().collect()}
@@ -102,8 +107,16 @@ class CheckpointedJob:
         """
         manifest = self.store.current_manifest()
         assert manifest is not None, "tile store has no snapshot"
+        snap = int(manifest["snapshot_id"])
+        # unit names are SNAPSHOT-SCOPED: a re-written store is new
+        # input, so partials computed against an older snapshot must
+        # neither satisfy the done-check nor be unioned into the result
+        # (they'd silently mix two versions of the data); lineage keeps
+        # the old rows as history, result() reads only this snapshot's
+        # unit dirs
         units = {
-            f"{p['cell_bucket']}_{p['tbucket']}": p for p in manifest["partitions"]
+            f"s{snap}_{p['cell_bucket']}_{p['tbucket']}": p
+            for p in manifest["partitions"]
         }
         done = self.completed_units()
         fresh = 0
@@ -112,7 +125,7 @@ class CheckpointedJob:
                 continue
             if fail_after_units is not None and fresh >= fail_after_units:
                 raise RuntimeError(f"injected failure after {fresh} units")
-            self._run_unit(unit, part, unit_fn, manifest["snapshot_id"], ts_now)
+            self._run_unit(unit, part, unit_fn, snap, ts_now)
             fresh += 1
         return self.result()
 
@@ -197,12 +210,18 @@ class CheckpointedJob:
         )
 
     def result(self) -> DataFrame:
-        """Combine all unit partials (additive) into the final aggregate."""
+        """Combine the CURRENT snapshot's unit partials (additive) into
+        the final aggregate. Partials from older snapshots stay on disk
+        as history but never contribute — mixing them with the current
+        snapshot's would double- or mis-count rewritten partitions."""
+        manifest = self.store.current_manifest()
+        assert manifest is not None, "tile store has no snapshot"
+        prefix = f"unit=s{int(manifest['snapshot_id'])}_"
         parts_dir = os.path.join(self.ckpt_dir, "parts")
         unit_dirs = [
             os.path.join(parts_dir, d)
             for d in os.listdir(parts_dir)
-            if d.startswith("unit=")
+            if d.startswith(prefix)
         ]
         df = self.spark.read.parquet(*unit_dirs)
         val_cols = [c for c in df.columns if c != "poly_id"]

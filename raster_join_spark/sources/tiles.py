@@ -79,14 +79,23 @@ class TileStore:
         bucket, tb = self.partition_cols(F.col("x"), F.col("y"), F.col(ts_col))
         staged = points.withColumn("cell_bucket", bucket).withColumn("tbucket", tb)
 
-        # hot-partition detection: per-(bucket, tbucket) counts (cheap
-        # partial-agg job over the partition columns only)
-        counts = {
-            (r["cell_bucket"], r["tbucket"]): r["cnt"]
-            for r in staged.groupBy("cell_bucket", "tbucket")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+        # ONE stats aggregate serves BOTH hot-partition detection and the
+        # manifest (row count + min/max pruning stats) — computing them
+        # as two jobs re-scanned the full staged input twice
+        stats = (
+            staged.groupBy("cell_bucket", "tbucket")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+                F.min("y").alias("min_y"),
+                F.max("y").alias("max_y"),
+                F.min(ts_col).alias("min_ts"),
+                F.max(ts_col).alias("max_ts"),
+            )
             .collect()
-        }
+        )
+        counts = {(r["cell_bucket"], r["tbucket"]): r["rows"] for r in stats}
         hot = {k for k, v in counts.items() if v > self.salt_threshold}
 
         # salt column: spreads hot partitions over `salt` writer tasks;
@@ -115,21 +124,41 @@ class TileStore:
             .parquet(data_dir)
         )
 
-        # manifest: per-partition stats (row count + min/max pruning stats)
-        stats = (
-            staged.groupBy("cell_bucket", "tbucket")
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.min("x").alias("min_x"),
-                F.max("x").alias("max_x"),
-                F.min("y").alias("min_y"),
-                F.max("y").alias("max_y"),
-                F.min(ts_col).alias("min_ts"),
-                F.max(ts_col).alias("max_ts"),
-            )
-            .collect()
-        )
         prev = self.current_manifest()
+        new_parts = {
+            (int(r["cell_bucket"]), int(r["tbucket"])): {
+                "cell_bucket": int(r["cell_bucket"]),
+                "tbucket": int(r["tbucket"]),
+                "rows": int(r["rows"]),
+                "min_x": float(r["min_x"]), "max_x": float(r["max_x"]),
+                "min_y": float(r["min_y"]), "max_y": float(r["max_y"]),
+                "min_ts": str(r["min_ts"]), "max_ts": str(r["max_ts"]),
+            }
+            for r in stats
+        }
+        salted = {tuple(map(int, k)) for k in hot}
+        if mode == "append" and prev:
+            # an append manifest must describe the WHOLE on-disk table,
+            # not just the new batch: merge row counts and widen min/max
+            # boxes for shared partitions, keep batch-1-only partitions
+            # (otherwise pruned_read never visits them and prunes shared
+            # directories with batch-2-only boxes — wrong results)
+            for p in prev["partitions"]:
+                key = (int(p["cell_bucket"]), int(p["tbucket"]))
+                q = new_parts.get(key)
+                if q is None:
+                    new_parts[key] = dict(p)
+                else:
+                    q["rows"] += int(p["rows"])
+                    q["min_x"] = min(q["min_x"], float(p["min_x"]))
+                    q["max_x"] = max(q["max_x"], float(p["max_x"]))
+                    q["min_y"] = min(q["min_y"], float(p["min_y"]))
+                    q["max_y"] = max(q["max_y"], float(p["max_y"]))
+                    # ts stats are ISO-formatted strings: lexicographic
+                    # order == chronological order
+                    q["min_ts"] = min(q["min_ts"], str(p["min_ts"]))
+                    q["max_ts"] = max(q["max_ts"], str(p["max_ts"]))
+            salted |= {tuple(map(int, k)) for k in prev["salted_partitions"]}
         manifest = {
             "snapshot_id": (prev["snapshot_id"] + 1) if prev else 1,
             "parent_snapshot_id": prev["snapshot_id"] if prev else None,
@@ -143,18 +172,8 @@ class TileStore:
                 "cell_w": self.grid.cell_w, "cell_h": self.grid.cell_h,
                 "nx": self.grid.nx, "ny": self.grid.ny,
             },
-            "salted_partitions": sorted([list(map(int, k)) for k in hot]),
-            "partitions": [
-                {
-                    "cell_bucket": int(r["cell_bucket"]),
-                    "tbucket": int(r["tbucket"]),
-                    "rows": int(r["rows"]),
-                    "min_x": float(r["min_x"]), "max_x": float(r["max_x"]),
-                    "min_y": float(r["min_y"]), "max_y": float(r["max_y"]),
-                    "min_ts": str(r["min_ts"]), "max_ts": str(r["max_ts"]),
-                }
-                for r in stats
-            ],
+            "salted_partitions": sorted([list(k) for k in salted]),
+            "partitions": [new_parts[k] for k in sorted(new_parts)],
         }
         os.makedirs(os.path.join(self.base_dir, "metadata"), exist_ok=True)
         with open(self._manifest_path(manifest["snapshot_id"]), "w") as f:

@@ -46,7 +46,14 @@ def _dedup_group(key, pdf_iter, state: GroupState):
                 seen_set.add(h)
                 out_urls.append(url)
                 out_hashes.append(h)
-    state.update((np.asarray(sorted(seen_set), dtype=np.int64).tobytes(),))
+    # only rewrite state when this batch actually added urls: the
+    # steady-state crawl case is mostly re-fetches, and an unconditional
+    # update pays sort + serialize + state write of the WHOLE seen set
+    # per batch per bucket. Merge the (small) new batch into the
+    # existing sorted array instead of re-sorting everything.
+    if out_hashes:
+        new = np.sort(np.asarray(out_hashes, dtype=np.int64))
+        state.update((np.union1d(seen, new).tobytes(),))
     yield pd.DataFrame(
         {
             "bucket": np.full(len(out_urls), key[0], dtype=np.int64),

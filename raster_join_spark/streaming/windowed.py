@@ -120,8 +120,35 @@ def streaming_polygon_counts(
     directory instead of double-counting, and a restart resumes from the
     partials already on disk — the same additive-partials recipe as
     plans/checkpoint.py. The sink stays O(polygons x batches) and
-    compactable (sum-rewrite) out of band."""
+    compactable (sum-rewrite) out of band.
+
+    Two lifecycle guards at setup time: (1) a FRESH checkpoint (no
+    offsets — new pipeline or operator-reset checkpoint) replays the
+    source from batch 0, so partials left in the sink by a dead
+    lineage of the same sink_dir would double-count; they are removed
+    before the run starts. (2) if partials already exist under a LIVE
+    checkpoint, the sink view is registered immediately, so a restart
+    that finds no new data still exposes the accumulated counts."""
+    import os
+    import shutil
+
     sink_dir = sink_dir or f"{checkpoint_dir.rstrip('/')}_sink"
+    offsets = os.path.join(checkpoint_dir, "offsets")
+    fresh_ckpt = not (os.path.isdir(offsets) and os.listdir(offsets))
+    batch_dirs = (
+        [d for d in os.listdir(sink_dir) if d.startswith("batch=")]
+        if os.path.isdir(sink_dir)
+        else []
+    )
+    if fresh_ckpt and batch_dirs:
+        # stale partials from a previous run whose checkpoint is gone:
+        # the new run replays everything, so keeping them double-counts
+        for d in batch_dirs:
+            shutil.rmtree(os.path.join(sink_dir, d))
+    elif batch_dirs:
+        sj.spark.read.parquet(sink_dir).groupBy("poly_id").agg(
+            F.sum("agg").alias("agg")
+        ).createOrReplaceTempView(sink_table)
     return (
         stream.writeStream.foreachBatch(polygon_batch_writer(sj, sink_dir, sink_table))
         .option("checkpointLocation", checkpoint_dir)

@@ -111,3 +111,94 @@ def test_checkpoint_resume_after_injected_failure(spark, store, pts, tmp_path):
     out2 = job.run(unit_fn, ts_now=3.0).toPandas().set_index("poly_id")["agg"]
     assert out2.sort_index().equals(exp.sort_index())
     assert len(job.lineage().toPandas()) == n_parts
+
+
+def test_append_manifest_describes_whole_table(spark, pts, tmp_path):
+    """An append snapshot's manifest must cover ALL on-disk data, not
+    just the new batch: pruned_read consults manifest min/max boxes and
+    row counts, so a batch-2-only manifest would skip batch-1-only
+    partitions entirely and prune shared ones with too-tight boxes."""
+    base = str(tmp_path / "store_append")
+    st = TileStore(base_dir=base, grid=COARSE_GRID, n_buckets=8, salt=4,
+                   salt_threshold=100)
+    half_a = pts.filter(F.col("x") < -100_000_000.0)
+    half_b = pts.filter(F.col("x") >= -100_000_000.0)
+    na, nb = half_a.count(), half_b.count()
+    assert na > 0 and nb > 0
+    st.write(half_a, ts_now=1700000000.0)
+    st.write(half_b, ts_now=1700000001.0, mode="append")
+    m = st.current_manifest()
+    assert m["snapshot_id"] == 2
+    assert sum(p["rows"] for p in m["partitions"]) == na + nb
+    # a box that matches ONLY batch-1 (west) points must survive pruning
+    box = (-124_500_000.0, 24_000_000.0, -101_000_000.0, 49_000_000.0)
+    df, report = st.pruned_read(spark, box=box)
+    exact = pts.filter(
+        (F.col("x") >= box[0]) & (F.col("x") <= box[2])
+        & (F.col("y") >= box[1]) & (F.col("y") <= box[3])
+    ).count()
+    got = df.filter(
+        (F.col("x") >= box[0]) & (F.col("x") <= box[2])
+        & (F.col("y") >= box[1]) & (F.col("y") <= box[3])
+    ).count()
+    assert got == exact and exact > 0
+    # full read sees both batches
+    assert st.read(spark).count() == na + nb
+
+
+def test_checkpoint_units_are_snapshot_scoped(spark, pts, tmp_path):
+    """Resume after the store is REWRITTEN must not reuse (or union)
+    partials computed against the old snapshot — unit names and
+    result() are snapshot-scoped."""
+    base = str(tmp_path / "store_resnap")
+    st = TileStore(base_dir=base, grid=COARSE_GRID, n_buckets=8, salt=4,
+                   salt_threshold=100)
+    st.write(pts, ts_now=1700000000.0)
+    ckpt = str(tmp_path / "ckpt_resnap")
+
+    def unit_fn(slice_df):
+        sj = SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
+        return sj.hybrid_join(slice_df, include_zero=False)
+
+    job = CheckpointedJob(spark, st, ckpt, job_id="j2")
+    out1 = job.run(unit_fn, ts_now=1.0).toPandas().set_index("poly_id")["agg"]
+
+    # rewrite the store with HALF the rows: stale partials must not leak
+    half = pts.filter(F.col("event_id") % 2 == 0)
+    st.write(half, ts_now=1700000002.0)
+    out2 = job.run(unit_fn, ts_now=2.0).toPandas().set_index("poly_id")["agg"]
+
+    sj = SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
+    exp2 = (
+        sj.hybrid_join(half, include_zero=False)
+        .toPandas()
+        .set_index("poly_id")["agg"]
+    )
+    assert out2.sort_index().equals(exp2.sort_index())
+    assert out2.sum() < out1.sum()  # really recomputed, not served stale
+
+
+def test_checkpoint_empty_lineage_dir_resumes(spark, pts, tmp_path):
+    """A crash between makedirs(lineage) and the first lineage write
+    leaves an empty dir; completed_units must treat it as 'nothing
+    done', not raise on parquet schema inference."""
+    base = str(tmp_path / "store_emptylin")
+    st = TileStore(base_dir=base, grid=COARSE_GRID, n_buckets=8, salt=4,
+                   salt_threshold=100)
+    st.write(pts, ts_now=1700000000.0)
+    ckpt = str(tmp_path / "ckpt_emptylin")
+    job = CheckpointedJob(spark, st, ckpt, job_id="j3")
+    os.makedirs(os.path.join(ckpt, "lineage"))
+    assert job.completed_units() == set()
+
+    def unit_fn(slice_df):
+        sj = SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
+        return sj.hybrid_join(slice_df, include_zero=False)
+
+    out = job.run(unit_fn, ts_now=1.0).toPandas().set_index("poly_id")["agg"]
+    sj = SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
+    exp = (
+        sj.hybrid_join(pts, include_zero=False).toPandas()
+        .set_index("poly_id")["agg"]
+    )
+    assert out.sort_index().equals(exp.sort_index())

@@ -162,3 +162,45 @@ def test_windowed_polygon_counts_match_batch(spark, points_dir, pts_schema, tmp_
         exp.sort_values(key, ignore_index=True)
     )
     assert len(got) > 0
+
+
+def test_streaming_checkpoint_reset_discards_stale_partials(
+    spark, points_dir, pts_schema, tmp_path
+):
+    """Lifecycle guards: (a) a run that finds partials under a LIVE
+    checkpoint registers the sink view immediately even when no new
+    batch fires; (b) a FRESH checkpoint (reset/deleted) replays the
+    source from scratch, so partials left by the dead lineage must be
+    discarded, not double-counted."""
+    import shutil
+
+    sj = SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
+    ck = str(tmp_path / "ck_reset")
+    sink = str(tmp_path / "ck_reset_sink")
+    exp = (
+        sj.hybrid_join(spark.read.parquet(points_dir), include_zero=False)
+        .toPandas()
+        .set_index("poly_id")["agg"]
+        .sort_index()
+    )
+
+    stream = stream_points(spark, points_dir, pts_schema, max_files_per_trigger=1)
+    q = streaming_polygon_counts(stream, sj, ck, "poly_reset", sink_dir=sink).start()
+    q.awaitTermination(180)
+
+    # (a) restart with NOTHING new pending: the view must still resolve
+    spark.catalog.dropTempView("poly_reset")
+    stream2 = stream_points(spark, points_dir, pts_schema, max_files_per_trigger=1)
+    q2 = streaming_polygon_counts(stream2, sj, ck, "poly_reset", sink_dir=sink).start()
+    q2.awaitTermination(180)
+    got = spark.sql("SELECT * FROM poly_reset").toPandas().set_index("poly_id")["agg"]
+    assert got.sort_index().equals(exp)
+
+    # (b) operator deletes the checkpoint -> full replay; stale partials
+    # must be cleared or every count doubles
+    shutil.rmtree(ck)
+    stream3 = stream_points(spark, points_dir, pts_schema, max_files_per_trigger=1)
+    q3 = streaming_polygon_counts(stream3, sj, ck, "poly_reset", sink_dir=sink).start()
+    q3.awaitTermination(180)
+    got3 = spark.sql("SELECT * FROM poly_reset").toPandas().set_index("poly_id")["agg"]
+    assert got3.sort_index().equals(exp)
