@@ -276,6 +276,66 @@ def _q_storage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the exact gate: every
+    url is written TWICE, shuffled across 8 files, and replayed two
+    files per micro-batch, so duplicates regularly straddle batches and
+    only the applyInPandasWithState seen-set (streaming/stateful.py) can
+    drop them. The drained append-mode sink must hold each url exactly
+    once — a second emission (state lost/misread) or a dropped url
+    changes the value hash. Oracle = SELECT DISTINCT url."""
+    from raster_join_spark.streaming.stateful import streaming_first_seen
+    from raster_join_spark.streaming.windowed import stream_points
+
+    urls = _points(spark, sf_dir).select("url")
+    src = _tmpdir("rjs_dedup_src_")
+    urls.unionByName(urls).repartition(8).write.mode("overwrite").parquet(src)
+    stream = stream_points(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=2
+    )
+    out = streaming_first_seen(stream, n_bucket_bits=4)
+    qname = f"rjs_stream_dedup_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("url")
+
+
+def _q_storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + compaction under the gate: write the west
+    half of the points table (snapshot 1), manifest-append the east half
+    (snapshot 2), then compact (snapshot 3 — new files, same rows).
+    Reading snapshot 1 by id must yield exactly the west-half count even
+    though the data directory now also holds snapshot-2 and compacted
+    files, and the current read must ride the compacted file list to the
+    full count. Oracle recomputes both counts from the raw CTE — a
+    manifest that blends snapshots, loses a file, or double-counts after
+    compaction shifts one of them (sources/tiles.py)."""
+    from raster_join_spark.fixtures import COARSE_GRID
+    from raster_join_spark.sources.tiles import TileStore
+
+    pts = _points(spark, sf_dir)
+    store = TileStore(
+        base_dir=_tmpdir("rjs_tt_store_"),
+        grid=COARSE_GRID,
+        salt_threshold=500,  # forces the salted path at sf0.01
+    )
+    split = -100_000_000.0
+    store.write(pts.filter(F.col("x") < split), ts_now=0.0)
+    store.write(pts.filter(F.col("x") >= split), ts_now=1.0, mode="append")
+    store.compact(spark, ts_now=2.0)
+    old = store.read(spark, snapshot_id=1).agg(
+        F.count(F.lit(1)).alias("snap1_cnt")
+    )
+    cur = store.read(spark).agg(F.count(F.lit(1)).alias("cur_cnt"))
+    return old.crossJoin(cur)
+
+
 def _q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """north_rule resumability under the exact gate: write the tile
     store, run the checkpointed per-partition raster aggregation with an
@@ -789,6 +849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarse_scan": _q_coarse_scan,
         "fullscan_filter": _q_fullscan,
         "storage_roundtrip": _q_storage_roundtrip,
+        "storage_time_travel": _q_storage_time_travel,
+        "streaming_dedup": _q_streaming_dedup,
         "streaming_window_poly": _q_streaming_window,
         "checkpoint_resume": _q_checkpoint_resume,
         "output_roundtrip": _q_output_roundtrip,
@@ -845,6 +907,8 @@ def oracle_sql() -> dict[str, str]:
         "coarse_scan": oracles.coarse_scan_sql(COARSE_GRID, BOX),
         "fullscan_filter": oracles.fullscan_sql(BOX, T0, T1),
         "storage_roundtrip": oracles.fullscan_sql(BOX, T0, T1),
+        "storage_time_travel": oracles.time_travel_sql(-100_000_000.0),
+        "streaming_dedup": oracles.streaming_dedup_sql(),
         "streaming_window_poly": oracles.streaming_window_sql(),
         "checkpoint_resume": oracles.raster_count_sql(COARSE_GRID),
         "output_roundtrip": oracles.index_count_sql(),

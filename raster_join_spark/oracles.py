@@ -328,6 +328,22 @@ def fullscan_sql(box: tuple[float, float, float, float], t0: str, t1: str) -> st
     )
 
 
+def time_travel_sql(split: float) -> str:
+    """Snapshot-isolation gate twin: snapshot 1 holds the x < split
+    half, the current (compacted) snapshot the whole table."""
+    return (
+        f"WITH {POINTS_CTE} SELECT "
+        f"(SELECT count(*) FROM points WHERE x < {split!r}) AS snap1_cnt, "
+        f"(SELECT count(*) FROM points) AS cur_cnt"
+    )
+
+
+def streaming_dedup_sql() -> str:
+    """First-seen URL dedup twin: the stream replays every url TWICE
+    (across micro-batches), so exactly-once emission == DISTINCT."""
+    return f"WITH {POINTS_CTE} SELECT DISTINCT url FROM points"
+
+
 def sum_sql() -> str:
     body = _per_poly_union(
         "SELECT CAST({pid} AS BIGINT) AS poly_id, CAST(sum(value_c) AS BIGINT) AS agg "

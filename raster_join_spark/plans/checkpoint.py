@@ -138,15 +138,12 @@ class CheckpointedJob:
         ts_now: float | None,
     ) -> None:
         t0 = time.perf_counter()
-        part_dir = os.path.join(
-            self.store.base_dir,
-            "data",
-            f"cell_bucket={part['cell_bucket']}",
-            f"tbucket={part['tbucket']}",
-        )
+        # the manifest's file list, not the partition DIRECTORY: under
+        # snapshot isolation a directory can hold other snapshots' files
+        # (pre-overwrite or pre-compaction) that this unit must not see
         slice_df = self.spark.read.option(
             "basePath", os.path.join(self.store.base_dir, "data")
-        ).parquet(part_dir)
+        ).parquet(*self.store._partition_files(part))
         # ONE Spark job per unit: the distributed query runs on the
         # executors, but a unit's PARTIAL is <= n_polys rows by the
         # additive contract, so it lands on the driver (Arrow transfer)

@@ -19,8 +19,20 @@ Spark, so we implement the same table semantics on parquet:
   the row key, bounding task/file size under NYC-style skew — the
   explicit skew handling the north_rule requires (the reference absorbs
   skew in GPU atomics; a shuffle cannot)
+- SNAPSHOT ISOLATION: every write is a filesystem-level append (part
+  files never collide — Spark names them per-job); the manifest lists
+  each partition's FILES, and "overwrite" vs "append" is purely a
+  manifest-level choice (replace the file set vs merge it). Old
+  snapshots stay readable (time travel) until ``expire_snapshots``
+  garbage-collects files no kept manifest references — the Iceberg
+  snapshot/expire model. Single writer assumed (no catalog to arbitrate
+  concurrent commits; a real deployment swaps in Iceberg's).
+- ``compact()`` rewrites the current snapshot into freshly-merged files
+  (Iceberg's rewrite_data_files): after N appends a partition holds >=N
+  small files; compaction restores bounded file counts without breaking
+  older snapshots.
 - reads prune partitions from the manifest BEFORE touching parquet
-  (directory-level pruning), then let Catalyst push residual filters
+  (file-level pruning), then let Catalyst push residual filters
   into the scan.
 
 At 100 TB the same layout maps 1:1 onto a real Iceberg table
@@ -62,6 +74,37 @@ class TileStore:
         bucket = F.pmod((xp * F.lit(P1)).bitwiseXOR(yp * F.lit(P2)), F.lit(self.n_buckets))
         tb = F.floor(F.unix_timestamp(ts) / F.lit(TBUCKET_SECONDS)).cast("long")
         return bucket.alias("cell_bucket"), tb.alias("tbucket")
+
+    # ------------------------------------------------------- file listing
+
+    def _data_dir(self) -> str:
+        return os.path.join(self.base_dir, "data")
+
+    def _list_data_files(self) -> set[str]:
+        """All parquet part files under data/, as paths relative to the
+        data dir. Driver-side metadata walk — O(files), never O(rows);
+        a real catalog (Iceberg) tracks this in manifests instead."""
+        data_dir = self._data_dir()
+        out: set[str] = set()
+        if not os.path.isdir(data_dir):
+            return out
+        for root, _dirs, files in os.walk(data_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.add(os.path.relpath(os.path.join(root, f), data_dir))
+        return out
+
+    @staticmethod
+    def _file_partition_key(relpath: str) -> tuple[int, int]:
+        """(cell_bucket, tbucket) encoded in a part file's directory path."""
+        cb = tb = None
+        for seg in relpath.split(os.sep):
+            if seg.startswith("cell_bucket="):
+                cb = int(seg.split("=", 1)[1])
+            elif seg.startswith("tbucket="):
+                tb = int(seg.split("=", 1)[1])
+        assert cb is not None and tb is not None, relpath
+        return cb, tb
 
     # ------------------------------------------------------------- write
 
@@ -113,16 +156,24 @@ class TileStore:
             salt_col = F.lit(0)
         staged = staged.withColumn("salt", salt_col)
 
-        data_dir = os.path.join(self.base_dir, "data")
+        data_dir = self._data_dir()
+        # SNAPSHOT ISOLATION: the physical write is ALWAYS an FS-level
+        # append (unique part-file names per job); ``mode`` only decides
+        # whether the new manifest replaces or merges the previous file
+        # set. Old snapshots keep their files until expire_snapshots.
+        before_files = self._list_data_files()
         (
             staged.repartition("cell_bucket", "tbucket", "salt")
-            .write.mode(mode)
+            .write.mode("append")
             # hard cap on rows per file: even if AQE coalesces the salted
             # writer tasks, a hot partition still splits into bounded files
             .option("maxRecordsPerFile", str(self.salt_threshold))
             .partitionBy("cell_bucket", "tbucket")
             .parquet(data_dir)
         )
+        batch_files: dict[tuple[int, int], list[str]] = {}
+        for f in sorted(self._list_data_files() - before_files):
+            batch_files.setdefault(self._file_partition_key(f), []).append(f)
 
         prev = self.current_manifest()
         new_parts = {
@@ -133,6 +184,9 @@ class TileStore:
                 "min_x": float(r["min_x"]), "max_x": float(r["max_x"]),
                 "min_y": float(r["min_y"]), "max_y": float(r["max_y"]),
                 "min_ts": str(r["min_ts"]), "max_ts": str(r["max_ts"]),
+                "files": batch_files.get(
+                    (int(r["cell_bucket"]), int(r["tbucket"])), []
+                ),
             }
             for r in stats
         }
@@ -149,6 +203,7 @@ class TileStore:
                 if q is None:
                     new_parts[key] = dict(p)
                 else:
+                    q["files"] = list(p.get("files", [])) + q["files"]
                     q["rows"] += int(p["rows"])
                     q["min_x"] = min(q["min_x"], float(p["min_x"]))
                     q["max_x"] = max(q["max_x"], float(p["max_x"]))
@@ -159,9 +214,26 @@ class TileStore:
                     q["min_ts"] = min(q["min_ts"], str(p["min_ts"]))
                     q["max_ts"] = max(q["max_ts"], str(p["max_ts"]))
             salted |= {tuple(map(int, k)) for k in prev["salted_partitions"]}
+        return self._commit_manifest(
+            prev,
+            new_parts,
+            salted,
+            ts_now,
+            operation="append" if (mode == "append" and prev) else "overwrite",
+        )
+
+    def _commit_manifest(
+        self,
+        prev: dict | None,
+        parts: dict[tuple[int, int], dict],
+        salted: set[tuple[int, int]],
+        ts_now: float | None,
+        operation: str,
+    ) -> dict:
         manifest = {
             "snapshot_id": (prev["snapshot_id"] + 1) if prev else 1,
             "parent_snapshot_id": prev["snapshot_id"] if prev else None,
+            "operation": operation,
             "created_at": ts_now if ts_now is not None else time.time(),
             "partition_spec": {
                 "cell_bucket": f"hash(xp*{P1} ^ yp*{P2}) % {self.n_buckets}",
@@ -173,7 +245,7 @@ class TileStore:
                 "nx": self.grid.nx, "ny": self.grid.ny,
             },
             "salted_partitions": sorted([list(k) for k in salted]),
-            "partitions": [new_parts[k] for k in sorted(new_parts)],
+            "partitions": [parts[k] for k in sorted(parts)],
         }
         os.makedirs(os.path.join(self.base_dir, "metadata"), exist_ok=True)
         with open(self._manifest_path(manifest["snapshot_id"]), "w") as f:
@@ -196,8 +268,63 @@ class TileStore:
         with open(self._manifest_path(sid)) as f:
             return json.load(f)
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.base_dir, "data"))
+    def manifest(self, snapshot_id: int) -> dict:
+        """Load a specific snapshot's manifest (raises if expired)."""
+        path = self._manifest_path(snapshot_id)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} does not exist (expired or never written)"
+            )
+        with open(path) as f:
+            return json.load(f)
+
+    def snapshot_ids(self) -> list[int]:
+        """All retained snapshot ids, oldest first (the snapshot log)."""
+        md = os.path.join(self.base_dir, "metadata")
+        if not os.path.isdir(md):
+            return []
+        return sorted(
+            int(f[len("snap-"):-len(".json")])
+            for f in os.listdir(md)
+            if f.startswith("snap-") and f.endswith(".json")
+        )
+
+    def _partition_files(self, part: dict) -> list[str]:
+        """Absolute paths of one manifest partition's data files; falls
+        back to the whole partition directory for pre-file-list
+        manifests (older stores)."""
+        files = part.get("files")
+        if files is None:
+            return [
+                os.path.join(
+                    self._data_dir(),
+                    f"cell_bucket={part['cell_bucket']}",
+                    f"tbucket={part['tbucket']}",
+                )
+            ]
+        return [os.path.join(self._data_dir(), f) for f in files]
+
+    def _read_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        """Read an explicit file list; ``basePath`` re-derives the
+        partition columns (cell_bucket, tbucket) from the paths."""
+        return spark.read.option("basePath", self._data_dir()).parquet(*paths)
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Manifest-scoped read of the current (or a past) snapshot.
+
+        Only files the snapshot's manifest references are scanned — an
+        overwritten or compacted store may hold other live files on
+        disk for OTHER snapshots (time travel) until expire_snapshots.
+        """
+        m = (
+            self.manifest(snapshot_id)
+            if snapshot_id is not None
+            else self.current_manifest()
+        )
+        assert m is not None, "no snapshot written yet"
+        paths = [f for p in m["partitions"] for f in self._partition_files(p)]
+        assert paths, "snapshot references no data files"
+        return self._read_paths(spark, paths)
 
     def pruned_read(
         self,
@@ -225,22 +352,85 @@ class TileStore:
             if t1 is not None and p["min_ts"] > t1:
                 continue
             keep.append(p)
-        dirs = [
-            os.path.join(
-                self.base_dir,
-                "data",
-                f"cell_bucket={p['cell_bucket']}",
-                f"tbucket={p['tbucket']}",
-            )
-            for p in keep
-        ]
+        paths = [f for p in keep for f in self._partition_files(p)]
         report = {
             "total_partitions": len(manifest["partitions"]),
             "scanned_partitions": len(keep),
             "scanned_rows_bound": sum(p["rows"] for p in keep),
         }
-        if not dirs:
+        if not paths:
             df = self.read(spark).limit(0)
         else:
-            df = spark.read.option("basePath", os.path.join(self.base_dir, "data")).parquet(*dirs)
+            df = self._read_paths(spark, paths)
         return df, report
+
+    # ------------------------------------------------------- maintenance
+
+    def compact(self, spark: SparkSession, ts_now: float | None = None) -> dict:
+        """Rewrite the current snapshot's data into freshly-merged files
+        (Iceberg rewrite_data_files): after N appends every shared
+        partition holds >=N files, and at 100 TB small-file buildup
+        dominates scan open/seek cost. One distributed job rewrites the
+        snapshot partitioned by (cell_bucket, tbucket, salt) — the salt
+        column keeps hot partitions parallel — with the same
+        maxRecordsPerFile bound as write(); the new manifest carries the
+        merged stats over unchanged (compaction moves bytes, not rows)
+        and references only the new files. Older snapshots keep reading
+        their old files until expire_snapshots()."""
+        prev = self.current_manifest()
+        assert prev is not None, "no snapshot written yet"
+        before_files = self._list_data_files()
+        (
+            self.read(spark)
+            .repartition("cell_bucket", "tbucket", "salt")
+            .write.mode("append")
+            .option("maxRecordsPerFile", str(self.salt_threshold))
+            .partitionBy("cell_bucket", "tbucket")
+            .parquet(self._data_dir())
+        )
+        batch_files: dict[tuple[int, int], list[str]] = {}
+        for f in sorted(self._list_data_files() - before_files):
+            batch_files.setdefault(self._file_partition_key(f), []).append(f)
+        parts: dict[tuple[int, int], dict] = {}
+        for p in prev["partitions"]:
+            key = (int(p["cell_bucket"]), int(p["tbucket"]))
+            q = dict(p)
+            q["files"] = batch_files.get(key, [])
+            parts[key] = q
+        salted = {tuple(map(int, k)) for k in prev["salted_partitions"]}
+        return self._commit_manifest(prev, parts, salted, ts_now, operation="compact")
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Garbage-collect history (Iceberg expire_snapshots): drop all
+        but the newest ``keep_last`` manifests, then delete every data
+        file no retained manifest references. Time travel to expired
+        snapshots raises afterwards; the current snapshot is always
+        retained. Driver-side file deletes here — a production deployment
+        fans the delete list out as a distributed job."""
+        assert keep_last >= 1
+        ids = self.snapshot_ids()
+        cur = self.current_manifest()
+        assert cur is not None, "no snapshot written yet"
+        keep_ids = set(ids[-keep_last:]) | {int(cur["snapshot_id"])}
+        referenced: set[str] = set()
+        for sid in keep_ids:
+            for p in self.manifest(sid)["partitions"]:
+                referenced.update(p.get("files", []))
+        removed_files = 0
+        for f in sorted(self._list_data_files() - referenced):
+            os.remove(os.path.join(self._data_dir(), f))
+            removed_files += 1
+        # prune now-empty partition directories so directory listings
+        # stay O(live partitions)
+        for root, _dirs, _files in os.walk(self._data_dir(), topdown=False):
+            # re-listdir: children removed earlier in this walk are gone
+            if root != self._data_dir() and not os.listdir(root):
+                os.rmdir(root)
+        removed_snaps = [sid for sid in ids if sid not in keep_ids]
+        for sid in removed_snaps:
+            os.remove(self._manifest_path(sid))
+        return {
+            "kept_snapshots": sorted(keep_ids),
+            "removed_snapshots": removed_snaps,
+            "removed_files": removed_files,
+        }

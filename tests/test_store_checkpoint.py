@@ -202,3 +202,103 @@ def test_checkpoint_empty_lineage_dir_resumes(spark, pts, tmp_path):
         .set_index("poly_id")["agg"]
     )
     assert out.sort_index().equals(exp.sort_index())
+
+
+def test_time_travel_and_snapshot_isolation(spark, pts, tmp_path):
+    """Writes are FS-appends + manifest commits: a manifest-level
+    overwrite must leave older snapshots readable (time travel), and
+    every read must see exactly its snapshot's files — never a blend."""
+    base = str(tmp_path / "store_tt")
+    st = TileStore(base_dir=base, grid=COARSE_GRID, n_buckets=8, salt=4,
+                   salt_threshold=100)
+    west = pts.filter(F.col("x") < -100_000_000.0)
+    east = pts.filter(F.col("x") >= -100_000_000.0)
+    nw, ne = west.count(), east.count()
+    st.write(west, ts_now=1.0)                     # snapshot 1
+    st.write(east, ts_now=2.0, mode="append")      # snapshot 2
+    st.write(west, ts_now=3.0)                     # snapshot 3: overwrite
+    assert st.read(spark, snapshot_id=1).count() == nw
+    assert st.read(spark, snapshot_id=2).count() == nw + ne
+    assert st.read(spark, snapshot_id=3).count() == nw
+    assert st.read(spark).count() == nw            # current == 3
+    # snapshot 1 and 3 hold the same logical rows via DIFFERENT files
+    m1, m3 = st.manifest(1), st.manifest(3)
+    f1 = {f for p in m1["partitions"] for f in p["files"]}
+    f3 = {f for p in m3["partitions"] for f in p["files"]}
+    assert f1 and f3 and f1.isdisjoint(f3)
+    assert st.snapshot_ids() == [1, 2, 3]
+
+
+def test_compact_merges_files_and_preserves_history(spark, pts, tmp_path):
+    """After N appends a shared partition holds >=N files; compact()
+    must cut the referenced file count, keep rows/stats identical, and
+    leave pre-compaction snapshots readable."""
+    base = str(tmp_path / "store_cmp")
+    st = TileStore(base_dir=base, grid=COARSE_GRID, n_buckets=8, salt=4,
+                   salt_threshold=10_000)
+    thirds = [pts.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    st.write(thirds[0], ts_now=1.0)
+    st.write(thirds[1], ts_now=2.0, mode="append")
+    st.write(thirds[2], ts_now=3.0, mode="append")
+    n = pts.count()
+    m_before = st.current_manifest()
+    files_before = sum(len(p["files"]) for p in m_before["partitions"])
+    before = (
+        st.read(spark).select("url", "x", "y").toPandas()
+        .sort_values("url", ignore_index=True)
+    )
+    m_after = st.compact(spark, ts_now=4.0)
+    assert m_after["operation"] == "compact"
+    files_after = sum(len(p["files"]) for p in m_after["partitions"])
+    assert files_after < files_before
+    # identical logical content, identical manifest stats
+    after = (
+        st.read(spark).select("url", "x", "y").toPandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert after.equals(before)
+    assert sum(p["rows"] for p in m_after["partitions"]) == n
+    for pb, pa in zip(m_before["partitions"], m_after["partitions"]):
+        assert (pb["cell_bucket"], pb["tbucket"]) == (pa["cell_bucket"], pa["tbucket"])
+        assert pb["rows"] == pa["rows"] and pb["min_x"] == pa["min_x"]
+    # pruned reads ride the compacted file list
+    box = (-80_000_000.0, 39_000_000.0, -70_000_000.0, 43_000_000.0)
+    df, report = st.pruned_read(spark, box=box)
+    exact = pts.filter(
+        (F.col("x") >= box[0]) & (F.col("x") <= box[2])
+        & (F.col("y") >= box[1]) & (F.col("y") <= box[3])
+    ).count()
+    got = df.filter(
+        (F.col("x") >= box[0]) & (F.col("x") <= box[2])
+        & (F.col("y") >= box[1]) & (F.col("y") <= box[3])
+    ).count()
+    assert got == exact
+    # time travel across the compaction boundary
+    assert st.read(spark, snapshot_id=3).count() == n
+    assert st.read(spark, snapshot_id=1).count() == thirds[0].count()
+
+
+def test_expire_snapshots_gc(spark, pts, tmp_path):
+    """expire_snapshots drops old manifests and deletes every data file
+    no retained manifest references; the current snapshot keeps working
+    and on-disk files match its manifest exactly."""
+    base = str(tmp_path / "store_gc")
+    st = TileStore(base_dir=base, grid=COARSE_GRID, n_buckets=8, salt=4,
+                   salt_threshold=100)
+    west = pts.filter(F.col("x") < -100_000_000.0)
+    st.write(pts, ts_now=1.0)
+    st.write(west, ts_now=2.0)       # overwrite: snapshot 1 now historical
+    st.compact(spark, ts_now=3.0)    # snapshot 3 references only new files
+    n_live = west.count()
+    report = st.expire_snapshots(keep_last=1)
+    assert report["removed_snapshots"] == [1, 2]
+    assert report["removed_files"] > 0
+    assert st.snapshot_ids() == [3]
+    cur = st.current_manifest()
+    referenced = {f for p in cur["partitions"] for f in p["files"]}
+    assert st._list_data_files() == referenced
+    assert st.read(spark).count() == n_live
+    with pytest.raises(FileNotFoundError):
+        st.manifest(1)
+    with pytest.raises(FileNotFoundError):
+        st.read(spark, snapshot_id=2)
