@@ -825,6 +825,19 @@ def _q_split_leakage_safe(spark, sf_dir):
     return split_assign(docs, pairs, test_permille=200)
 
 
+def _q_pipeline_corpus(spark, sf_dir):
+    """The WHOLE training-corpus pipeline composed in one lazy plan:
+    language + quality filter -> MinHash pairs over the survivors ->
+    exact connected-components dedup (keep min id per cluster) ->
+    cluster-hashed train/test split (plans/pipeline.py). The oracle
+    composes the identical stages as nested CTEs, so stage ORDERING
+    bugs (dedup before filter, split before dedup) hash-mismatch, not
+    just stage-internal ones."""
+    from raster_join_spark.plans.pipeline import prepare_corpus
+
+    return prepare_corpus(_docs(spark, sf_dir), test_permille=200)
+
+
 def _q_simhash(spark, sf_dir):
     from raster_join_spark.operators.dedup import simhash
 
@@ -934,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": _q_dedup_canonical,
         "sample_hash": _q_sample_hash,
         "split_leakage_safe": _q_split_leakage_safe,
+        "pipeline_corpus": _q_pipeline_corpus,
         "text_simhash": _q_simhash,
         "emb_neardup_pairs": _q_emb_neardup,
         "media_meta": _q_media_meta,
@@ -947,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
     from raster_join_spark.operators import dedup as D
     from raster_join_spark.operators import multimodal as M
     from raster_join_spark.operators import sampling as SMP
+    from raster_join_spark.plans import pipeline as PL
     from raster_join_spark.operators import similarity as S
     from raster_join_spark.operators import textops as X
 
@@ -1006,6 +1021,7 @@ def oracle_sql() -> dict[str, str]:
             D.minhash_lsh_pairs_sql(k=64, bands=16, shingle_w=3),
             test_permille=200,
         ),
+        "pipeline_corpus": PL.prepare_corpus_sql(test_permille=200),
         "text_simhash": D.simhash_sql(),
         "ann_lsh_topk": S.lsh_topk_sql(ANN_QUERY, k=ANN_K, n_planes=8, n_probes=4),
         "ann_ivf_topk": S.ivf_topk_sql(ANN_QUERY, k=ANN_K, n_lists=8, n_probe=4),

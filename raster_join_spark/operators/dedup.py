@@ -338,7 +338,9 @@ def minhash_lsh_pairs(
     )
 
 
-def _minhash_sig_cte(k: int, bands: int, shingle_w: int, seed: int) -> str:
+def _minhash_sig_cte(
+    k: int, bands: int, shingle_w: int, seed: int, table: str = "documents"
+) -> str:
     a, b = _minhash_params(k, seed)
     mins = ",\n    ".join(
         f"min(({int(a[i])} * h + {int(b[i])}) % {_P31}) AS m{i}" for i in range(k)
@@ -346,7 +348,7 @@ def _minhash_sig_cte(k: int, bands: int, shingle_w: int, seed: int) -> str:
     return f"""
 docs_w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS words
-  FROM documents
+  FROM {table}
 ),
 sh AS (SELECT doc_id, unnest({_shingle_sql(shingle_w)}) AS shingle FROM docs_w),
 hv AS (SELECT doc_id, {h60_sql('shingle')} % {_P31} AS h FROM sh),
@@ -363,6 +365,7 @@ def minhash_lsh_pairs_sql(
     shingle_w: int = 3,
     seed: int = 42,
     max_bucket: int = 1000,
+    table: str = "documents",
 ) -> str:
     """DuckDB twin of minhash_lsh_pairs — identical hash family, banding,
     hot-bucket drop and pair emission."""
@@ -380,7 +383,7 @@ def minhash_lsh_pairs_sql(
     join_keys = " AND ".join(f"a.{c} = b.{c}" for c in keycols)
     hot_match = " AND ".join(f"h.{c} = t.{c}" for c in keycols)
     return f"""
-WITH {_minhash_sig_cte(k, bands, shingle_w, seed)},
+WITH {_minhash_sig_cte(k, bands, shingle_w, seed, table)},
 bands_t AS ({band_selects}),
 hot AS (SELECT {keys} FROM bands_t GROUP BY {keys} HAVING count(*) > {max_bucket}),
 capped AS (

@@ -93,6 +93,13 @@ FROM documents
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-based language guess; ties resolve in (en, es, zh) order,
     zero hits -> 'und'. The oracle reproduces the same CASE chain."""
+    return docs.select("doc_id", "lang", lang_pred_col().alias("lang_pred"))
+
+
+def lang_pred_col() -> Column:
+    """The lang_id decision as a reusable predicate column over ``text``
+    (same CASE chain as :func:`lang_id`; composition surface for
+    pipeline filters)."""
     scores = {
         lang: sum(
             (occurrences(F.col("text"), m) for m in markers[1:]),
@@ -101,13 +108,26 @@ def lang_id(docs: DataFrame) -> DataFrame:
         for lang, markers in LANG_MARKERS.items()
     }
     en, es, zh = scores["en"], scores["es"], scores["zh"]
-    pred = (
+    return (
         F.when((en >= es) & (en >= zh) & (en > 0), F.lit("en"))
         .when((es >= zh) & (es > 0), F.lit("es"))
         .when(zh > 0, F.lit("zh"))
         .otherwise(F.lit("und"))
     )
-    return docs.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+def lang_pred_sql() -> str:
+    """DuckDB twin of :func:`lang_pred_col` (a CASE expression)."""
+
+    def score(lang: str) -> str:
+        return " + ".join(occurrences_sql("text", m) for m in LANG_MARKERS[lang])
+
+    en, es, zh = score("en"), score("es"), score("zh")
+    return (
+        f"CASE WHEN ({en}) >= ({es}) AND ({en}) >= ({zh}) AND ({en}) > 0 THEN 'en' "
+        f"WHEN ({es}) >= ({zh}) AND ({es}) > 0 THEN 'es' "
+        f"WHEN ({zh}) > 0 THEN 'zh' ELSE 'und' END"
+    )
 
 
 def lang_id_sql() -> str:

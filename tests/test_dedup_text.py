@@ -373,3 +373,31 @@ def test_split_assign_no_leakage_across_pairs(spark, docs):
     assert {"train", "test"} == set(asg.split)
     # every doc assigned exactly once
     assert len(asg) == docs.count() and asg.doc_id.is_unique
+
+
+def test_prepare_corpus_composition(spark, sf_dir):
+    """Composed pipeline == composed oracle on the real documents
+    table, and the composition invariants hold: output subset of the
+    filtered survivors, one doc per dup cluster, deterministic."""
+    from raster_join_spark.plans.pipeline import prepare_corpus, prepare_corpus_sql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = (
+        prepare_corpus(docs, test_permille=200)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    exp = (
+        con.sql(prepare_corpus_sql(test_permille=200))
+        .df()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    got["doc_id"] = got["doc_id"].astype("int64")
+    exp["doc_id"] = exp["doc_id"].astype("int64")
+    assert got.equals(exp)
+    assert 0 < len(got) < docs.count()
+    assert got.doc_id.is_unique
