@@ -499,11 +499,14 @@ def dedup_canonical(
     id_col: str = "doc_id",
     a: str = "doc_a",
     b: str = "doc_b",
+    cc: DataFrame | None = None,
 ) -> DataFrame:
     """Exact KEEP set: one canonical doc (the min id) per connected
     dup component, plus every unpaired doc — the decision
-    :func:`minhash_dedup`'s single-pass rule only approximates."""
-    cc = connected_components(pairs, a=a, b=b)
+    :func:`minhash_dedup`'s single-pass rule only approximates. Pass a
+    precomputed ``cc`` label table to share one components run."""
+    if cc is None:
+        cc = connected_components(pairs, a=a, b=b)
     drop = cc.filter(F.col("cluster_id") != F.col("doc_id")).select(
         F.col("doc_id").alias(id_col)
     )

@@ -66,6 +66,7 @@ def split_assign(
     test_permille: int = 100,
     id_col: str = "doc_id",
     salt: str = "split",
+    cc: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-safe train/test assignment: hash the DEDUP CLUSTER, not
     the document, so every near-duplicate component lands wholly on one
@@ -75,9 +76,15 @@ def split_assign(
     Plan: connected components over the pair list (O(log diameter)
     pointer-jumping rounds), then ONE broadcast-free left join of docs
     to the (small — endpoints only) label table and a stateless hash
-    decision per row."""
+    decision per row.
+
+    Pass a precomputed ``cc`` label table (from
+    :func:`~raster_join_spark.operators.dedup.connected_components`)
+    to share one components run across consumers."""
     assert 0 <= test_permille <= 1000
-    cc = connected_components(pairs).withColumnRenamed("doc_id", id_col)
+    if cc is None:
+        cc = connected_components(pairs)
+    cc = cc.withColumnRenamed("doc_id", id_col)
     cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
     key = F.concat(F.lit(f"{salt}:"), cluster.cast("string"))
     return (
