@@ -67,6 +67,7 @@ def split_assign(
     id_col: str = "doc_id",
     salt: str = "split",
     cc: DataFrame | None = None,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """Leakage-safe train/test assignment: hash the DEDUP CLUSTER, not
     the document, so every near-duplicate component lands wholly on one
@@ -80,11 +81,21 @@ def split_assign(
 
     Pass a precomputed ``cc`` label table (from
     :func:`~raster_join_spark.operators.dedup.connected_components`)
-    to share one components run across consumers."""
+    to share one components run across consumers.
+
+    ``broadcast_labels`` (default on) hints the label table to the
+    broadcast side: the table is checkpoint-backed, so the planner has
+    no size statistics and would otherwise pick a SortMergeJoin that
+    SHUFFLES THE WHOLE CORPUS against a table of pair endpoints.
+    Disable only when the endpoint count itself approaches corpus
+    scale (dup rate so high the labels exceed broadcast limits) — at
+    that point the shuffle join is genuinely required."""
     assert 0 <= test_permille <= 1000
     if cc is None:
         cc = connected_components(pairs)
     cc = cc.withColumnRenamed("doc_id", id_col)
+    if broadcast_labels:
+        cc = F.broadcast(cc)
     cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
     key = F.concat(F.lit(f"{salt}:"), cluster.cast("string"))
     return (

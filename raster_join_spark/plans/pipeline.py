@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from raster_join_spark.operators.dedup import (
     connected_components_sql,
-    dedup_canonical,
     minhash_lsh_pairs,
     minhash_lsh_pairs_sql,
 )
@@ -87,13 +86,19 @@ def prepare_corpus(
     pairs = minhash_lsh_pairs(filtered, k=k, bands=bands, shingle_w=shingle_w)
     # ONE components run feeds both the keep decision and the split —
     # calling dedup_canonical and split_assign separately would run the
-    # minhash + CC lineage twice (measured 2x the pipeline wall time)
+    # minhash + CC lineage twice (measured 2x the pipeline wall time).
+    # The keep decision IS a predicate on the assignment frame
+    # (cluster_id == doc_id keeps exactly the canonical member of each
+    # component and every singleton), so the final plan is one corpus
+    # scan -> broadcast label join -> filter -> project, with no
+    # doc-sized join at the end.
     cc = connected_components(pairs)
-    kept = dedup_canonical(filtered, pairs, cc=cc)
     asg = split_assign(
         filtered, pairs, test_permille=test_permille, salt=salt, cc=cc
     )
-    return kept.join(asg, "doc_id").select("doc_id", "split")
+    return asg.filter(F.col("cluster_id") == F.col("doc_id")).select(
+        "doc_id", "split"
+    )
 
 
 def prepare_corpus_sql(

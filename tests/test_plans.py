@@ -122,3 +122,31 @@ def test_no_row_at_a_time_python_udfs_in_codebase():
         if "F.udf(" in src or "functions.udf(" in src or "@udf" in src:
             offenders.append(str(py))
     assert not offenders, f"row-at-a-time UDFs found: {offenders}"
+
+
+def test_split_assign_broadcasts_label_table(spark, sf_dir):
+    """The corpus->labels join must be a broadcast hash join: the label
+    table is checkpoint-backed (no size stats), so without the hint the
+    planner SortMergeJoins — i.e. shuffles the whole corpus against a
+    table of pair endpoints."""
+    from raster_join_spark.operators.dedup import minhash_lsh_pairs
+    from raster_join_spark.operators.sampling import split_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, k=64, bands=16, shingle_w=3)
+    plan = plan_of(split_assign(docs, pairs, test_permille=200))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan and "Cartesian" not in plan
+
+
+def test_prepare_corpus_no_doc_sized_join(spark, sf_dir):
+    """The composed pipeline's final plan is one corpus scan -> broadcast
+    label join -> filter -> project; the keep decision is a predicate on
+    the assignment frame, never a doc-sized join against a keep set."""
+    from raster_join_spark.plans.pipeline import prepare_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(prepare_corpus(docs, test_permille=200))
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan and "Cartesian" not in plan
