@@ -158,6 +158,32 @@ def main() -> None:
             plan_of(minhash_lsh_pairs(docs_df, k=64, bands=16, shingle_w=3)),
         ),
     ]
+
+    from raster_join_spark.operators.sampling import split_assign
+    from raster_join_spark.plans.pipeline import prepare_corpus
+
+    pairs_df = minhash_lsh_pairs(docs_df, k=64, bands=16, shingle_w=3)
+    sections += [
+        (
+            "Leakage-safe split (cluster-hash assignment)",
+            "Corpus scan -> BROADCAST hash join against the "
+            "connected-components label table (checkpoint-backed, so the "
+            "broadcast is hinted — without it the planner SortMergeJoins "
+            "and shuffles the whole corpus) -> stateless salted-md5 "
+            "decision per row. No Window, no Cartesian.",
+            plan_of(split_assign(docs_df, pairs_df, test_permille=200)),
+        ),
+        (
+            "Composed corpus pipeline (filter -> dedup -> split)",
+            "The keep decision is the predicate cluster_id == doc_id on "
+            "the assignment frame, so the composed plan stays: one "
+            "document scan (language/quality predicates evaluated in the "
+            "scan stage) -> broadcast label join -> filter -> project. "
+            "The iterative CC rounds run once, up front, over the pair "
+            "list only.",
+            plan_of(prepare_corpus(docs_df, test_permille=200)),
+        ),
+    ]
     out = [
         "# Physical plans (captured from .explain('formatted'))",
         "",
