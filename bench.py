@@ -494,7 +494,7 @@ def run_poly_sweep() -> dict:
     from raster_join_spark.session import get_spark
     from raster_join_spark.sources.pages import synth_points
     from raster_join_spark.geo.polygons import blob_polygons
-    from raster_join_spark.geo.classify import classify_cells
+    from raster_join_spark.geo.classify import BOUNDARY, classify_cells
     from raster_join_spark.fixtures import FINE_GRID, X0, X1, Y0, Y1
     from raster_join_spark.operators.spatial_join import SpatialJoin
 
@@ -533,7 +533,7 @@ def run_poly_sweep() -> dict:
             "refine_k": sj.refine_k,
             "broadcast_mb": round(bbytes / 1e6, 2),
             "pairs": int(len(ct.cls_kind)),
-            "boundary_pairs": int(len(bc)),
+            "boundary_pairs": int((ct.cls_kind == BOUNDARY).sum()),
         }
         for name, fn in (("raster", sj.raster_join), ("hybrid", sj.hybrid_join)):
             t0 = time.perf_counter()

@@ -433,8 +433,11 @@ def connected_components(
     are localCheckpoint'ed each round so the logical plan stays O(1)
     deep instead of doubling (the standard iterative-DataFrame hazard).
     Convergence is detected by the strictly-monotone label sum (labels
-    only decrease), adding no extra job — the sum rides the same count
-    action. Component count and rounds are reported via ``stats``.
+    only decrease), adding no extra job — the sum rides the same agg
+    action; an empty pair list converges after one round (NULL sum).
+    ``stats`` reports ``rounds`` and ``converged`` (False only if
+    ``max_iters`` was exhausted before the fixpoint — labels may then
+    be non-minimal and the caller should raise ``max_iters``).
     """
     if stats is None:
         stats = {}
@@ -452,6 +455,7 @@ def connected_components(
     )
     prev_sum = None
     rounds = 0
+    converged = False
     for _ in range(max_iters):
         rounds += 1
         nbr_min = (
@@ -483,11 +487,15 @@ def connected_components(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         labels = new_labels
-        if prev_sum is not None and cur_sum == prev_sum:
+        # cur_sum is None iff the label table is empty (no pairs):
+        # nothing can ever change, so that IS the fixpoint
+        if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist(False)
     stats["rounds"] = rounds
+    stats["converged"] = converged
     return labels.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
     )

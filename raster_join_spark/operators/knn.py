@@ -339,11 +339,17 @@ def _block_topk_by_cell(
             T.StructField("dist2", T.DoubleType(), False),
         ]
     )
+    # dtypes must FOLLOW out_schema (q_id/id types are caller-defined):
+    # a hardcoded int64 empty frame against e.g. a string id column
+    # fails Arrow conversion exactly on empty cogroup sides
+    _pd_dtype = {
+        "long": "int64", "integer": "int32", "short": "int16",
+        "double": "float64", "float": "float32", "string": "object",
+    }
     empty = pd.DataFrame(
         {
-            "q_id": pd.Series([], dtype="int64"),
-            id_col: pd.Series([], dtype="int64"),
-            "dist2": pd.Series([], dtype="float64"),
+            f.name: pd.Series([], dtype=_pd_dtype.get(f.dataType.typeName(), "object"))
+            for f in out_schema.fields
         }
     )
 

@@ -445,12 +445,15 @@ def embedding_neardup_pairs(
             # crashing on len(None)
             if metrics is not None:
                 metrics.update({"dropped_buckets": 0, "affected_docs": 0})
+            # id columns inherit id_col's ACTUAL type (schema must
+            # match the non-empty path, or unions of the two fail)
+            id_t = emb.schema[id_col].dataType
             return emb.sparkSession.createDataFrame(
                 [],
                 T.StructType(
                     [
-                        T.StructField("id_a", T.LongType(), False),
-                        T.StructField("id_b", T.LongType(), False),
+                        T.StructField("id_a", id_t, False),
+                        T.StructField("id_b", id_t, False),
                         T.StructField("cos_u6", T.LongType(), False),
                     ]
                 ),

@@ -202,17 +202,25 @@ class TileStore:
                 q = new_parts.get(key)
                 if q is None:
                     new_parts[key] = dict(p)
+                    continue
+                if "files" in p:
+                    q["files"] = list(p["files"]) + q["files"]
                 else:
-                    q["files"] = list(p.get("files", [])) + q["files"]
-                    q["rows"] += int(p["rows"])
-                    q["min_x"] = min(q["min_x"], float(p["min_x"]))
-                    q["max_x"] = max(q["max_x"], float(p["max_x"]))
-                    q["min_y"] = min(q["min_y"], float(p["min_y"]))
-                    q["max_y"] = max(q["max_y"], float(p["max_y"]))
-                    # ts stats are ISO-formatted strings: lexicographic
-                    # order == chronological order
-                    q["min_ts"] = min(q["min_ts"], str(p["min_ts"]))
-                    q["max_ts"] = max(q["max_ts"], str(p["max_ts"]))
+                    # pre-file-list manifest (older store): its data is
+                    # reachable only via the DIRECTORY fallback, so the
+                    # merged entry must drop its files key too — a
+                    # files list holding just the new batch would make
+                    # reads silently lose the old batch's rows
+                    q.pop("files", None)
+                q["rows"] += int(p["rows"])
+                q["min_x"] = min(q["min_x"], float(p["min_x"]))
+                q["max_x"] = max(q["max_x"], float(p["max_x"]))
+                q["min_y"] = min(q["min_y"], float(p["min_y"]))
+                q["max_y"] = max(q["max_y"], float(p["max_y"]))
+                # ts stats are ISO-formatted strings: lexicographic
+                # order == chronological order
+                q["min_ts"] = min(q["min_ts"], str(p["min_ts"]))
+                q["max_ts"] = max(q["max_ts"], str(p["max_ts"]))
             salted |= {tuple(map(int, k)) for k in prev["salted_partitions"]}
         return self._commit_manifest(
             prev,
@@ -413,11 +421,27 @@ class TileStore:
         assert cur is not None, "no snapshot written yet"
         keep_ids = set(ids[-keep_last:]) | {int(cur["snapshot_id"])}
         referenced: set[str] = set()
+        # a retained PRE-file-list manifest partition (older store) is
+        # reachable only via the directory fallback — every file under
+        # that partition directory must survive the GC
+        protected_prefixes: set[str] = set()
         for sid in keep_ids:
             for p in self.manifest(sid)["partitions"]:
-                referenced.update(p.get("files", []))
+                files = p.get("files")
+                if files is None:
+                    protected_prefixes.add(
+                        os.path.join(
+                            f"cell_bucket={p['cell_bucket']}",
+                            f"tbucket={p['tbucket']}",
+                        )
+                        + os.sep
+                    )
+                else:
+                    referenced.update(files)
         removed_files = 0
         for f in sorted(self._list_data_files() - referenced):
+            if any(f.startswith(pref) for pref in protected_prefixes):
+                continue
             os.remove(os.path.join(self._data_dir(), f))
             removed_files += 1
         # prune now-empty partition directories so directory listings

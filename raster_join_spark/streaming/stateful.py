@@ -48,11 +48,12 @@ def _dedup_group(key, pdf_iter, state: GroupState):
                 out_hashes.append(h)
     # only rewrite state when this batch actually added urls: the
     # steady-state crawl case is mostly re-fetches, and an unconditional
-    # update pays sort + serialize + state write of the WHOLE seen set
-    # per batch per bucket. Merge the (small) new batch into the
-    # existing sorted array instead of re-sorting everything.
+    # update would pay serialize + state write of the WHOLE seen set per
+    # batch per bucket even when nothing changed. (When urls WERE added,
+    # union1d internally sorts the concatenation — that full-sort cost
+    # is accepted; the win here is the no-change skip.)
     if out_hashes:
-        new = np.sort(np.asarray(out_hashes, dtype=np.int64))
+        new = np.asarray(out_hashes, dtype=np.int64)
         state.update((np.union1d(seen, new).tobytes(),))
     yield pd.DataFrame(
         {

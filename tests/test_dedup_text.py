@@ -401,3 +401,14 @@ def test_prepare_corpus_composition(spark, sf_dir):
     assert got.equals(exp)
     assert 0 < len(got) < docs.count()
     assert got.doc_id.is_unique
+
+
+def test_connected_components_empty_pairs_converges_fast(spark):
+    """Zero pairs (clean corpus) must converge after ONE round, not
+    burn max_iters rounds of empty-frame Spark jobs: the NULL label sum
+    IS the fixpoint signal for an empty label table."""
+    pairs = spark.createDataFrame([], "doc_a LONG, doc_b LONG")
+    stats: dict = {}
+    got = D.connected_components(pairs, stats=stats).toPandas()
+    assert len(got) == 0
+    assert stats["rounds"] == 1 and stats["converged"] is True

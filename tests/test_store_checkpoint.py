@@ -302,3 +302,53 @@ def test_expire_snapshots_gc(spark, pts, tmp_path):
         st.manifest(1)
     with pytest.raises(FileNotFoundError):
         st.read(spark, snapshot_id=2)
+
+
+def test_pre_filelist_manifest_append_and_expire(spark, pts, tmp_path):
+    """Back-compat with pre-file-list manifests (no "files" keys —
+    readable only via the directory fallback): an append must NOT
+    claim a files list that covers only the new batch (old rows would
+    silently vanish from reads), and expire_snapshots must never GC
+    files under a retained fallback partition's directory."""
+    import json
+
+    base = str(tmp_path / "store_oldmf")
+    st = TileStore(base_dir=base, grid=COARSE_GRID, n_buckets=8, salt=4,
+                   salt_threshold=100)
+    west = pts.filter(F.col("x") < -100_000_000.0)
+    east = pts.filter(F.col("x") >= -100_000_000.0)
+    nw, ne = west.count(), east.count()
+    st.write(west, ts_now=1.0)
+    # doctor snapshot 1 into the pre-file-list format
+    mp = st._manifest_path(1)
+    m = json.load(open(mp))
+    for p in m["partitions"]:
+        p.pop("files", None)
+    json.dump(m, open(mp, "w"))
+
+    st.write(east, ts_now=2.0, mode="append")
+    # shared partitions fell back to directory reads: ALL rows visible
+    assert st.read(spark).count() == nw + ne
+    box = (-124_500_000.0, 24_000_000.0, -101_000_000.0, 49_000_000.0)
+    df, _ = st.pruned_read(spark, box=box)
+    exact = pts.filter(
+        (F.col("x") >= box[0]) & (F.col("x") <= box[2])
+        & (F.col("y") >= box[1]) & (F.col("y") <= box[3])
+    ).count()
+    got = df.filter(
+        (F.col("x") >= box[0]) & (F.col("x") <= box[2])
+        & (F.col("y") >= box[1]) & (F.col("y") <= box[3])
+    ).count()
+    assert got == exact and exact > 0
+
+    # expiry retaining the fallback manifest must not GC its directory
+    # (note: a pre-file-list snapshot cannot time travel — its directory
+    # fallback sees every file later written into shared partitions;
+    # the guarantee is that NO data reachable from a retained manifest
+    # is deleted)
+    files_before = st._list_data_files()
+    report = st.expire_snapshots(keep_last=2)
+    assert st._list_data_files() == files_before
+    assert report["removed_files"] == 0
+    assert st.read(spark).count() == nw + ne
+    assert report["removed_snapshots"] == []
