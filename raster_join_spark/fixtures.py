@@ -81,6 +81,50 @@ def alt_polyset() -> PolygonSet:
 
 ALT_POLYS = alt_polyset()
 
+# ------------------------------------------------ multi-ring (hole) fixture
+
+
+def hole_polyset() -> PolygonSet:
+    """3 donut polygons (outer rectangle + square hole) built through the
+    reference's MULTI-RING text path: rings FLATTEN into one vertex run
+    per polygon (PolyHandler.cpp:49-80 pindexes; readPolygons 133-176
+    concatenates rings into one PolygonF), so the crossing-parity PIP
+    sees two phantom diagonal edges per donut (outer-last -> hole-first
+    and hole-last -> outer-first). The engine reproduces that rule
+    bug-for-bug — points in the hole count OUTSIDE; points in the sliver
+    between the two phantom diagonals also flip (4 crossings), exactly
+    as the reference GPU shader computes (shaders/line-bound.frag:195-209).
+    Bounds are integer+0.5 floats: no integer-microdegree point sits on
+    an axis-aligned edge; diagonal-edge arithmetic is inexact but
+    IEEE-identical across numpy/Spark/DuckDB (basic ops, same order).
+    Donut 0 straddles the NYC hot cluster so the skew path is exercised."""
+
+    def donut(x0, y0, x1, y1, hx0, hy0, hx1, hy1):
+        return [
+            [(x0, y0), (x1, y0), (x1, y1), (x0, y1)],
+            [(hx0, hy0), (hx1, hy0), (hx1, hy1), (hx0, hy1)],
+        ]
+
+    polys = [
+        donut(
+            -74_150_000.5, 40_550_000.5, -73_850_000.5, 40_850_000.5,
+            -74_050_000.5, 40_650_000.5, -73_950_000.5, 40_750_000.5,
+        ),
+        donut(
+            -120_000_000.5, 33_000_000.5, -110_000_000.5, 40_000_000.5,
+            -117_000_000.5, 35_000_000.5, -113_000_000.5, 38_000_000.5,
+        ),
+        donut(
+            -95_000_000.5, 30_000_000.5, -85_000_000.5, 38_000_000.5,
+            -92_000_000.5, 32_000_000.5, -88_000_000.5, 36_000_000.5,
+        ),
+    ]
+    return PolygonSet.from_rings(polys, name="holes3")
+
+
+HOLE_POLYS = hole_polyset()
+
+
 # ------------------------------------------ many-polygon scaling fixture
 
 # 64 x 64 = 4096 axis-aligned rectangles with half-unit-offset bounds:

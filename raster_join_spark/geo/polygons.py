@@ -25,6 +25,15 @@ class PolygonSet:
     verts: np.ndarray  # (TotalV, 2) float64
     offsets: np.ndarray  # (P+1,) int64
     name: str = "polys"
+    # per-polygon vertex count per ring (post-cleanup; sums to the
+    # polygon's CSR extent). None == every polygon is single-ring. The
+    # KERNELS never see this — the reference flattens rings into one
+    # vertex run per polygon (PolyHandler.cpp:49-80 pindexes, and the
+    # crossing-parity PIP walks that flat run with a wraparound edge,
+    # shaders/line-bound.frag:195-209) and we reproduce that rule
+    # bug-for-bug, phantom inter-ring edges included. ring_sizes exists
+    # so save_text can round-trip the FILE structure faithfully.
+    ring_sizes: list[np.ndarray] | None = field(default=None, repr=False)
     _mbrs: np.ndarray | None = field(default=None, repr=False)
     _cache_token: str | None = field(default=None, repr=False)
 
@@ -54,34 +63,95 @@ class PolygonSet:
         return PolygonSet(verts=verts, offsets=offsets, name=name)
 
     @staticmethod
+    def from_rings(
+        polys: list[list[list[tuple[float, float]]]], name: str = "polys"
+    ) -> "PolygonSet":
+        """Build from per-polygon RING lists with the reference's exact
+        cleanup (PolyHandler.cpp:144-166): within a ring, a vertex after
+        the first is dropped iff it equals the immediately preceding
+        vertex; a ring's FIRST vertex is always kept (even when it
+        repeats the previous ring's last — k==0 bypasses the prev
+        check); after all rings, the overall closing vertex is dropped
+        iff it equals the overall first. Rings then FLATTEN into one
+        vertex run per polygon — the reference's pindexes layout — so
+        the crossing-parity PIP sees phantom inter-ring edges, which is
+        bug-for-bug what the GPU shader computes."""
+        cleaned: list[np.ndarray] = []
+        ring_sizes: list[np.ndarray] = []
+        any_multi = False
+        for rings in polys:
+            pts: list[tuple[float, float]] = []
+            sizes: list[int] = []
+            for ring in rings:
+                n0 = len(pts)
+                for k, pt in enumerate(ring):
+                    pt = (float(pt[0]), float(pt[1]))
+                    if k > 0 and pts and pt == pts[-1]:
+                        continue
+                    pts.append(pt)
+                sizes.append(len(pts) - n0)
+            if len(pts) > 1 and pts[0] == pts[-1]:
+                pts.pop()
+                sizes[-1] -= 1
+            cleaned.append(
+                np.asarray(pts, dtype=np.float64).reshape(len(pts), 2)
+            )
+            ring_sizes.append(np.asarray(sizes, dtype=np.int64))
+            any_multi = any_multi or len(sizes) > 1
+        offsets = np.zeros(len(cleaned) + 1, dtype=np.int64)
+        for i, c in enumerate(cleaned):
+            offsets[i + 1] = offsets[i] + len(c)
+        verts = (
+            np.concatenate(cleaned, axis=0) if cleaned else np.empty((0, 2), np.float64)
+        )
+        return PolygonSet(
+            verts=verts,
+            offsets=offsets,
+            name=name,
+            ring_sizes=ring_sizes if any_multi else None,
+        )
+
+    @staticmethod
     def load_text(path: str, name: str = "polys") -> "PolygonSet":
         """Parse the reference's polygon text format (PolyHandler.cpp:133-176)."""
         with open(path) as f:
             tokens = f.read().split()
         it = iter(tokens)
         total = int(next(it))
-        polys: list[list[tuple[float, float]]] = []
+        polys: list[list[list[tuple[float, float]]]] = []
         for _ in range(total):
             n_rings = int(next(it))
-            poly: list[tuple[float, float]] = []
+            rings: list[list[tuple[float, float]]] = []
             for _ in range(n_rings):
                 n_verts = int(next(it))
-                for _ in range(n_verts):
-                    x = float(next(it))
-                    y = float(next(it))
-                    poly.append((x, y))
-            polys.append(poly)
-        return PolygonSet.from_list(polys, name=name)
+                ring = [
+                    (float(next(it)), float(next(it))) for _ in range(n_verts)
+                ]
+                rings.append(ring)
+            polys.append(rings)
+        return PolygonSet.from_rings(polys, name=name)
+
+    def poly_rings(self, p: int) -> list[np.ndarray]:
+        """The polygon's rings as vertex arrays (single flat ring when no
+        ring structure was recorded)."""
+        pv = self.poly_verts(p)
+        if self.ring_sizes is None:
+            return [pv]
+        ends = np.cumsum(self.ring_sizes[p])
+        return [pv[s:e] for s, e in zip(np.r_[0, ends[:-1]], ends)]
 
     def save_text(self, path: str) -> None:
-        """Write the reference's text format (one ring per polygon)."""
+        """Write the reference's text format, round-tripping ring
+        structure: load_text(save_text(ps)) reproduces the identical
+        CSR AND ring_sizes (cleanup is idempotent on cleaned input)."""
         lines = [str(self.n_polys)]
         for p in range(self.n_polys):
-            pv = self.poly_verts(p)
-            lines.append("1")
-            lines.append(str(len(pv)))
-            for x, y in pv:
-                lines.append(f"{x!r} {y!r}")
+            rings = self.poly_rings(p)
+            lines.append(str(len(rings)))
+            for ring in rings:
+                lines.append(str(len(ring)))
+                for x, y in ring:
+                    lines.append(f"{x!r} {y!r}")
         with open(path, "w") as f:
             f.write("\n".join(lines) + "\n")
 

@@ -408,6 +408,21 @@ def minhash_dedup(docs: DataFrame, **kw) -> DataFrame:
 # --------------------------------------------- connected components / CC
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a superseded localCheckpoint's executor blocks.
+
+    ``df.unpersist()`` cannot do this — localCheckpoint persists at the
+    RDD level, outside the cache manager — so we reach the checkpointed
+    RDD through the LogicalRDD plan node and unpersist it directly. The
+    frame is UNUSABLE afterwards (a local checkpoint's lineage is
+    truncated); callers only release frames proven dead by a newer
+    eager checkpoint."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # plan shape not LogicalRDD (already released / never ck'ed)
+
+
 def connected_components(
     pairs: DataFrame,
     a: str = "doc_a",
@@ -486,6 +501,10 @@ def connected_components(
         cur_sum = new_labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
+        # the superseded round's checkpoint blocks are dead the moment
+        # new_labels materialized (eager=True) — release them so the
+        # executors hold ONE label snapshot, not O(log diameter) of them
+        _release_local_checkpoint(labels)
         labels = new_labels
         # cur_sum is None iff the label table is empty (no pairs):
         # nothing can ever change, so that IS the fixpoint

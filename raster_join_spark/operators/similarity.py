@@ -282,6 +282,102 @@ def ivf_topk(
     )
 
 
+def ivf_write_store(
+    emb: DataFrame,
+    base_dir: str,
+    n_lists: int = 16,
+    train_sample: int = 2048,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """IVF at REST: write the embedding table partitioned by its inverted
+    list id, so a probe is PARTITION-PRUNED I/O, not a full scan with a
+    post-filter. This is the 100-TB shape: `ivf_list` is the physical
+    partition key (one directory per list; at scale, an Iceberg identity
+    partition), and a query touches n_probe/n_lists of the data on disk.
+    Centroids persist as a JSON sidecar so probes never retrain. Returns
+    the trained centroids (identical to :func:`ivf_topk`'s: same
+    deterministic orderBy-limit sample, same seed)."""
+    import json
+    import os
+
+    sample = np.stack(
+        [
+            r[0]
+            for r in emb.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(train_sample)
+            .select(vec_col)
+            .collect()
+        ]
+    ).astype(np.float64)
+    cent = _kmeans_np(sample, k=n_lists, seed=seed)
+    assigned = emb.withColumn("ivf_list", ivf_assign_col(vec_col, cent))
+    assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(
+        os.path.join(base_dir, "data")
+    )
+    with open(os.path.join(base_dir, "centroids.json"), "w") as f:
+        json.dump(cent.tolist(), f)
+    return cent
+
+
+def ivf_topk_pruned(
+    spark: SparkSession,
+    base_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    report: dict | None = None,
+) -> DataFrame:
+    """Probe an :func:`ivf_write_store` layout reading ONLY the probed
+    list directories (explicit path list — the scan never opens an
+    unprobed partition's files), then re-rank exactly inside them.
+    Results are identical to :func:`ivf_topk` over the same table
+    (same centroids -> same lists -> same candidates -> same unrolled
+    IEEE dot). ``report`` (optional dict) records the prune:
+    {total_partitions, scanned_partitions, probes} — the same evidence
+    shape as TileStore.pruned_read."""
+    import json
+    import os
+
+    with open(os.path.join(base_dir, "centroids.json")) as f:
+        cent = np.asarray(json.load(f), dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    qd = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(qd)[:n_probe]]
+    data_dir = os.path.join(base_dir, "data")
+    on_disk = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(data_dir)
+        if d.startswith("ivf_list=")
+    }
+    # an empty probed list has no directory — skipping it is exact
+    # (no vectors were assigned there, so it contributes no candidates)
+    paths = [
+        os.path.join(data_dir, f"ivf_list={p}") for p in probes if p in on_disk
+    ]
+    if report is not None:
+        report.update(
+            total_partitions=len(on_disk),
+            scanned_partitions=len(paths),
+            probes=probes,
+        )
+    cand = spark.read.option("basePath", data_dir).parquet(*paths)
+    scored = cand.select(F.col(id_col), dot_expr(vec_col, q).alias("score"))
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("score").desc(), F.col(id_col))),
+        )
+        .select(id_col, "rank", "score")
+    )
+
+
 def _self_dot_expr(vec_col: str, dim: int) -> Column:
     """Unrolled ||v||^2 left-fold (same IEEE sequence as the SQL twin)."""
     acc: Column | None = None

@@ -286,11 +286,14 @@ class SpatialJoin:
     # sc.broadcast() pays ~2.7s of driver pickling PER CALL — but the
     # artifact is immutable per (collection content, grid, dtype,
     # refine), so one broadcast serves every query, like the reference's
-    # persistent GPU polygon textures (GLFunction.cpp:158-197). Evicted
-    # entries are NOT unpersisted (an in-flight lazy plan may still hold
-    # the handle); the dict is simply cleared — bounded leak of <=16
-    # handles per session, reclaimed at session stop.
+    # persistent GPU polygon textures (GLFunction.cpp:158-197). Eviction
+    # is LRU (hits reinsert at the back; the front entry is the coldest)
+    # and evicted broadcasts are unpersist(blocking=False)'d — executors
+    # drop the blocks, but an in-flight lazy plan that still holds the
+    # handle simply re-fetches from the driver (only destroy() would
+    # break it), so the hottest artifacts are never force-rebroadcast.
     _BC_CACHE: dict[tuple, object] = {}
+    _BC_CACHE_MAX = 16
 
     def _bc_art(self):
         """The per-executor membership artifact (interior CSR, boundary
@@ -305,12 +308,18 @@ class SpatialJoin:
             np.dtype(self.dtype).char,
             self.refine_k,
         )
-        bc = self._BC_CACHE.get(key)
-        if bc is None:
-            bc = self.spark.sparkContext.broadcast(self._bc_art_dict())
-            if len(self._BC_CACHE) > 16:
-                self._BC_CACHE.clear()
-            self._BC_CACHE[key] = bc
+        bc = self._BC_CACHE.pop(key, None)
+        if bc is not None:
+            self._BC_CACHE[key] = bc  # reinsert: most-recently-used
+            return bc
+        bc = self.spark.sparkContext.broadcast(self._bc_art_dict())
+        while len(self._BC_CACHE) >= self._BC_CACHE_MAX:
+            old = self._BC_CACHE.pop(next(iter(self._BC_CACHE)))
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass  # session already stopped
+        self._BC_CACHE[key] = bc
         return bc
 
     def _bc_art_dict(self) -> dict:
@@ -336,8 +345,9 @@ class SpatialJoin:
     ) -> DataFrame:
         if cache_key is not None:
             key = (id(self.spark), self.polyset.cache_token, self.grid, cache_key)
-            hit = self._PAIRS_CACHE.get(key)
+            hit = self._PAIRS_CACHE.pop(key, None)
             if hit is not None:
+                self._PAIRS_CACHE[key] = hit  # reinsert: most-recently-used
                 return hit
         data = {"cell_id": cell.astype(np.int64), "poly_id": poly.astype(np.int64)}
         for k, (arr, _) in (extra or {}).items():
@@ -354,8 +364,8 @@ class SpatialJoin:
         )
         df = self.spark.createDataFrame(pd.DataFrame(data), schema=schema)
         if cache_key is not None:
-            if len(self._PAIRS_CACHE) > 64:
-                self._PAIRS_CACHE.clear()
+            while len(self._PAIRS_CACHE) >= 64:  # LRU: evict coldest only
+                self._PAIRS_CACHE.pop(next(iter(self._PAIRS_CACHE)))
             self._PAIRS_CACHE[key] = df
         return df
 
@@ -736,16 +746,22 @@ class SpatialJoin:
 
         ``stats`` (optional dict) records the decision:
         {"plan": "fused"|"split"|..., "boundary_fraction": float|None}."""
-        if fused == "auto" and agg.op in ("count", "sum", "avg"):
-            cached = bool(points.storageLevel.useMemory)
-            bfrac = None
-            if cached:
-                bfrac = self._sampled_boundary_fraction(points)
-                fused = "split" if bfrac < 0.15 else True
+        if fused == "auto":
+            if agg.op in ("count", "sum", "avg"):
+                cached = bool(points.storageLevel.useMemory)
+                bfrac = None
+                if cached:
+                    bfrac = self._sampled_boundary_fraction(points)
+                    fused = "split" if bfrac < 0.15 else True
+                else:
+                    fused = True
+                if stats is not None:
+                    stats["boundary_fraction"] = bfrac
             else:
-                fused = True
-            if stats is not None:
-                stats["boundary_fraction"] = bfrac
+                # non-partial-aggregable op: the pair-materializing plan
+                # is the only executor — normalize so stats['plan']
+                # records the plan actually run, never the literal "auto"
+                fused = False
         if stats is not None:
             stats["plan"] = (
                 fused if isinstance(fused, str) else ("fused" if fused else "pairs")

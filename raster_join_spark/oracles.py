@@ -185,6 +185,24 @@ FROM raster r LEFT JOIN acc a ON a.poly_id = r.poly_id
 """
 
 
+def hole_count_sql() -> str:
+    """Multi-ring (hole) collection count: pip_sql over each donut's
+    FLATTENED vertex run — the oracle replays the identical crossing
+    rule over the identical edge cycle (phantom inter-ring edges
+    included), so any divergence in ring flattening, edge order, or
+    parity arithmetic hash-mismatches."""
+    from raster_join_spark.fixtures import HOLE_POLYS
+
+    parts = []
+    for p in range(HOLE_POLYS.n_polys):
+        pip = pip_sql("x", "y", HOLE_POLYS.poly_verts(p))
+        parts.append(
+            f"SELECT CAST({p} AS BIGINT) AS poly_id, count(*) AS agg "
+            f"FROM points WHERE {pip}"
+        )
+    return f"WITH {POINTS_CTE} " + "\nUNION ALL\n".join(parts)
+
+
 def ingest_binary_sql() -> str:
     """Twin of the binary round-trip gate query: the same field
     derivations the Spark side writes into the taxi record file —
@@ -201,6 +219,7 @@ SELECT CAST(event_id AS BIGINT) AS db_idx,
        CAST(event_id % 256 AS BIGINT) AS passengers,
        CAST(CAST(value_c AS REAL) AS DOUBLE) AS miles
 FROM points
+WHERE event_id < 1000000
 """
 
 

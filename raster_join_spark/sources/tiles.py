@@ -25,8 +25,12 @@ Spark, so we implement the same table semantics on parquet:
   manifest-level choice (replace the file set vs merge it). Old
   snapshots stay readable (time travel) until ``expire_snapshots``
   garbage-collects files no kept manifest references — the Iceberg
-  snapshot/expire model. Single writer assumed (no catalog to arbitrate
-  concurrent commits; a real deployment swaps in Iceberg's).
+  snapshot/expire model. Concurrent commits are arbitrated by a
+  create-exclusive manifest CAS: of two writers racing on the same
+  parent snapshot exactly one wins; the other raises
+  ``ConcurrentCommitError`` (loud, retryable) instead of silently
+  clobbering ``metadata/current``. A real deployment swaps in
+  Iceberg's catalog CAS, same contract.
 - ``compact()`` rewrites the current snapshot into freshly-merged files
   (Iceberg's rewrite_data_files): after N appends a partition holds >=N
   small files; compaction restores bounded file counts without breaking
@@ -49,11 +53,19 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from raster_join_spark.geo.grid import GridSpec
 
 P1, P2, P3 = 73856093, 19349663, 83492791  # HashGridIndex.cpp:96-111
 TBUCKET_SECONDS = 864_000  # 10-day time cells, BackendIndex/main.cpp:64-65
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Two writers raced to commit the same snapshot id; exactly one won
+    the create-exclusive manifest CAS and the loser gets this instead of
+    silently losing its snapshot. Retry: re-read the table, re-stage,
+    re-commit (what an Iceberg catalog's CAS loop does)."""
 
 
 @dataclass
@@ -155,6 +167,18 @@ class TileStore:
         else:
             salt_col = F.lit(0)
         staged = staged.withColumn("salt", salt_col)
+        # read-shaped schema, recorded in the manifest so a ZERO-partition
+        # snapshot (empty batch) still reads back as an empty typed frame:
+        # data columns in staged order, partition columns appended last as
+        # int — exactly how _read_paths returns them (basePath partition
+        # inference yields IntegerType)
+        read_schema = T.StructType(
+            [f for f in staged.schema if f.name not in ("cell_bucket", "tbucket")]
+            + [
+                T.StructField("cell_bucket", T.IntegerType(), True),
+                T.StructField("tbucket", T.IntegerType(), True),
+            ]
+        )
 
         data_dir = self._data_dir()
         # SNAPSHOT ISOLATION: the physical write is ALWAYS an FS-level
@@ -162,15 +186,19 @@ class TileStore:
         # whether the new manifest replaces or merges the previous file
         # set. Old snapshots keep their files until expire_snapshots.
         before_files = self._list_data_files()
-        (
-            staged.repartition("cell_bucket", "tbucket", "salt")
-            .write.mode("append")
-            # hard cap on rows per file: even if AQE coalesces the salted
-            # writer tasks, a hot partition still splits into bounded files
-            .option("maxRecordsPerFile", str(self.salt_threshold))
-            .partitionBy("cell_bucket", "tbucket")
-            .parquet(data_dir)
-        )
+        if stats:  # an EMPTY batch skips the (no-op) Spark write job but
+            # still commits a snapshot below: overwrite-with-empty must
+            # genuinely empty the table, and read() of the resulting
+            # zero-partition snapshot returns an empty typed frame
+            (
+                staged.repartition("cell_bucket", "tbucket", "salt")
+                .write.mode("append")
+                # hard cap on rows per file: even if AQE coalesces the salted
+                # writer tasks, a hot partition still splits into bounded files
+                .option("maxRecordsPerFile", str(self.salt_threshold))
+                .partitionBy("cell_bucket", "tbucket")
+                .parquet(data_dir)
+            )
         batch_files: dict[tuple[int, int], list[str]] = {}
         for f in sorted(self._list_data_files() - before_files):
             batch_files.setdefault(self._file_partition_key(f), []).append(f)
@@ -228,6 +256,7 @@ class TileStore:
             salted,
             ts_now,
             operation="append" if (mode == "append" and prev) else "overwrite",
+            schema=json.loads(read_schema.json()),
         )
 
     def _commit_manifest(
@@ -237,6 +266,7 @@ class TileStore:
         salted: set[tuple[int, int]],
         ts_now: float | None,
         operation: str,
+        schema: dict | None = None,
     ) -> dict:
         manifest = {
             "snapshot_id": (prev["snapshot_id"] + 1) if prev else 1,
@@ -254,12 +284,36 @@ class TileStore:
             },
             "salted_partitions": sorted([list(k) for k in salted]),
             "partitions": [parts[k] for k in sorted(parts)],
+            # read-shaped StructType JSON; carried forward on commits that
+            # do not re-stage data (compact) so empty snapshots stay typed
+            "schema": schema if schema is not None else (prev or {}).get("schema"),
         }
         os.makedirs(os.path.join(self.base_dir, "metadata"), exist_ok=True)
-        with open(self._manifest_path(manifest["snapshot_id"]), "w") as f:
-            json.dump(manifest, f, indent=1)
-        with open(os.path.join(self.base_dir, "metadata", "current"), "w") as f:
+        # CAS commit: the snapshot file is created EXCLUSIVELY — two
+        # writers that both read parent N and race to commit N+1 collide
+        # on the same snap path, and exactly one open(..., "x") succeeds.
+        # The loser gets a loud ConcurrentCommitError instead of silently
+        # clobbering metadata/current (Iceberg arbitration via catalog
+        # CAS; this is the filesystem equivalent).
+        snap_path = self._manifest_path(manifest["snapshot_id"])
+        try:
+            with open(snap_path, "x") as f:
+                json.dump(manifest, f, indent=1)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"snapshot {manifest['snapshot_id']} was already committed "
+                f"by another writer (parent was "
+                f"{manifest['parent_snapshot_id']}); re-read the table and "
+                "retry the write"
+            ) from None
+        # `current` moves via atomic rename so readers never observe a
+        # torn pointer file
+        cur_tmp = os.path.join(
+            self.base_dir, "metadata", f".current.tmp.{manifest['snapshot_id']}"
+        )
+        with open(cur_tmp, "w") as f:
             f.write(str(manifest["snapshot_id"]))
+        os.replace(cur_tmp, os.path.join(self.base_dir, "metadata", "current"))
         return manifest
 
     # -------------------------------------------------------------- read
@@ -331,8 +385,16 @@ class TileStore:
         )
         assert m is not None, "no snapshot written yet"
         paths = [f for p in m["partitions"] for f in self._partition_files(p)]
-        assert paths, "snapshot references no data files"
+        if not paths:
+            return self._empty_frame(spark, m)
         return self._read_paths(spark, paths)
+
+    def _empty_frame(self, spark: SparkSession, m: dict) -> DataFrame:
+        """Typed empty frame for a zero-partition snapshot (a committed
+        empty batch) — same columns/types a file-backed read returns."""
+        schema = m.get("schema")
+        assert schema is not None, "snapshot references no data files"
+        return spark.createDataFrame([], T.StructType.fromJson(schema))
 
     def pruned_read(
         self,

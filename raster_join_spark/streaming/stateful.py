@@ -35,31 +35,41 @@ OUT_SCHEMA = T.StructType(
 
 
 def _dedup_group(key, pdf_iter, state: GroupState):
+    # fully vectorized first-seen filter (no per-row Python): per Arrow
+    # chunk, keep rows whose hash is (a) not in the persisted seen set,
+    # (b) not emitted by an earlier chunk of this same batch, and
+    # (c) the chunk's own first occurrence — identical emission order to
+    # a row loop because every mask preserves row order
     seen = np.frombuffer(state.get[0], dtype=np.int64) if state.exists else np.empty(0, np.int64)
-    out_urls: list[str] = []
-    out_hashes: list[int] = []
-    seen_set = set(seen.tolist())
+    parts: list[pd.DataFrame] = []
+    batch_new = np.empty(0, np.int64)
     for pdf in pdf_iter:
-        for url, h in zip(pdf["url"], pdf["url_hash"]):
-            h = int(h)
-            if h not in seen_set:
-                seen_set.add(h)
-                out_urls.append(url)
-                out_hashes.append(h)
+        h = pdf["url_hash"].to_numpy(np.int64)
+        keep = ~pd.Series(h).duplicated().to_numpy()  # (c)
+        keep &= np.isin(h, seen, invert=True)  # (a)
+        if batch_new.size:
+            keep &= np.isin(h, batch_new, invert=True)  # (b)
+        if keep.any():
+            parts.append(pdf.loc[keep, ["url", "url_hash"]])
+            batch_new = np.concatenate([batch_new, h[keep]])
     # only rewrite state when this batch actually added urls: the
     # steady-state crawl case is mostly re-fetches, and an unconditional
     # update would pay serialize + state write of the WHOLE seen set per
     # batch per bucket even when nothing changed. (When urls WERE added,
     # union1d internally sorts the concatenation — that full-sort cost
     # is accepted; the win here is the no-change skip.)
-    if out_hashes:
-        new = np.asarray(out_hashes, dtype=np.int64)
-        state.update((np.union1d(seen, new).tobytes(),))
+    if batch_new.size:
+        state.update((np.union1d(seen, batch_new).tobytes(),))
+    out_urls = (
+        pd.concat(parts, ignore_index=True)["url"]
+        if parts
+        else pd.Series([], dtype=object)
+    )
     yield pd.DataFrame(
         {
             "bucket": np.full(len(out_urls), key[0], dtype=np.int64),
             "url": out_urls,
-            "url_hash": np.asarray(out_hashes, dtype=np.int64),
+            "url_hash": batch_new,
         }
     )
 

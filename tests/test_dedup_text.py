@@ -412,3 +412,27 @@ def test_connected_components_empty_pairs_converges_fast(spark):
     got = D.connected_components(pairs, stats=stats).toPandas()
     assert len(got) == 0
     assert stats["rounds"] == 1 and stats["converged"] is True
+
+
+def test_connected_components_releases_superseded_checkpoints(spark):
+    """Each round's localCheckpoint must free the previous round's
+    blocks: executors hold ONE label snapshot, not O(log diameter) of
+    them (a multi-round chain would otherwise accumulate a checkpoint
+    block set per round)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    edges = [(i, i + 1) for i in range(64)]  # forces several rounds
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [a for a, _ in edges],
+                      "doc_b": [b for _, b in edges]})
+    )
+    stats: dict = {}
+    labels = D.connected_components(pairs, stats=stats)
+    assert stats["rounds"] >= 3
+    after = jsc.getPersistentRDDs().size()
+    # only the FINAL labels checkpoint may remain (edges are unpersisted)
+    assert after - before <= 1, (
+        f"{after - before} persistent RDDs leaked over {stats['rounds']} rounds"
+    )
+    # and the surviving frame is the live one
+    assert labels.count() == 65

@@ -500,3 +500,141 @@ def test_pip_candidates_flat_equals_grouped():
     assert np.array_equal(
         pip_candidates(px, py, cand16, ps.verts, ps.offsets), ref16
     )
+
+
+# ------------------------------------------- multi-ring (hole) polygons
+
+
+def _donut_rings():
+    # outer CCW + square hole, easy hand-computable crossing counts
+    return [
+        [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)],
+        [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0)],
+    ]
+
+
+def test_from_rings_flattens_like_reference():
+    """Rings concatenate into ONE vertex run per polygon — the
+    reference's pindexes layout (PolyHandler.cpp:49-80): no ring
+    markers survive into the CSR; ring_sizes records the file
+    structure for save_text round-trips only."""
+    ps = PolygonSet.from_rings([_donut_rings()])
+    assert ps.n_polys == 1
+    assert len(ps.poly_verts(0)) == 8  # 4 outer + 4 hole, flattened
+    assert ps.ring_sizes is not None
+    assert ps.ring_sizes[0].tolist() == [4, 4]
+    rings = ps.poly_rings(0)
+    assert len(rings) == 2 and len(rings[0]) == 4 and len(rings[1]) == 4
+
+
+def test_from_rings_cleanup_matches_reference_exactly():
+    """PolyHandler.cpp:144-166 semantics: within a ring, consecutive
+    duplicates drop; a ring's FIRST vertex is always kept even when it
+    equals the previous ring's last (k==0 bypasses the prev check); the
+    overall closing vertex drops iff it equals the overall first."""
+    rings = [
+        # in-ring consecutive dup (1,0) and explicit closing vertex (0,0)
+        [(0.0, 0.0), (1.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)],
+        # ring starts with the previous ring's LAST vertex -> KEPT
+        [(0.0, 1.0), (0.25, 0.5), (0.5, 0.75)],
+    ]
+    ps = PolygonSet.from_rings([rings])
+    pv = ps.poly_verts(0).tolist()
+    assert pv == [
+        [0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0],
+        [0.0, 1.0],  # ring-boundary duplicate preserved (bug-for-bug)
+        [0.25, 0.5], [0.5, 0.75],
+    ]
+    assert ps.ring_sizes[0].tolist() == [4, 3]
+    # single-ring polygon with closing vertex: classic cleanup
+    ps2 = PolygonSet.from_rings(
+        [[[(0.0, 0.0), (2.0, 0.0), (1.0, 2.0), (0.0, 0.0)]]]
+    )
+    assert len(ps2.poly_verts(0)) == 3
+    assert ps2.ring_sizes is None  # all single-ring -> no structure kept
+
+
+def test_multi_ring_text_roundtrip(tmp_path):
+    ps = PolygonSet.from_rings(
+        [_donut_rings(), [[(20.0, 0.0), (30.0, 0.0), (25.0, 8.0)]]],
+        name="rt",
+    )
+    p = str(tmp_path / "polys.txt")
+    ps.save_text(p)
+    back = PolygonSet.load_text(p)
+    np.testing.assert_array_equal(back.verts, ps.verts)
+    np.testing.assert_array_equal(back.offsets, ps.offsets)
+    assert [r.tolist() for r in back.ring_sizes] == [[4, 4], [3]]
+    # and idempotent once more through the single-ring writer shape
+    back.save_text(p)
+    again = PolygonSet.load_text(p)
+    np.testing.assert_array_equal(again.verts, ps.verts)
+
+
+def test_hole_pip_is_flattened_crossing_parity():
+    """Pin what the flattened-CSR crossing rule computes on a donut —
+    the reference's own semantics (shader walks the flat run with a
+    wraparound edge, line-bound.frag:195-209):
+    - annulus right of the hole: 1 crossing -> INSIDE
+    - hole interior: outer + hole edges = 2 crossings -> OUTSIDE
+    - sliver between the two phantom diagonals (left of the hole):
+      4 crossings -> OUTSIDE, where ideal donut semantics would say
+      inside — the documented bug-for-bug divergence."""
+    ps = PolygonSet.from_rings([_donut_rings()])
+    v = ps.poly_verts(0)
+    px = np.array([8.0, 5.0, 3.0, 11.0, 3.5])
+    py = np.array([5.0, 5.0, 5.0, 5.0, 4.5])
+    got = pip_mask(px, py, v)
+    # hand-computed crossing parity over the 8-edge flattened cycle
+    # (phantom edges (0,10)->(4,4) and (4,6)->(0,0) included):
+    assert got.tolist() == [True, False, False, False, True]
+
+
+def test_hole_pip_matches_independent_evenodd_spec():
+    """Cross-check pip_mask against an independent even-odd evaluator
+    (different formulation: winding via y-interval halfplane test) on a
+    point grid over the donut."""
+    ps = PolygonSet.from_rings([_donut_rings()])
+    v = ps.poly_verts(0)
+
+    def evenodd(px, py):
+        inside = False
+        n = len(v)
+        for i in range(n):
+            x1, y1 = v[i]
+            x2, y2 = v[(i + 1) % n]
+            if (y1 > py) == (y2 > py):
+                continue
+            t = (py - y1) / (y2 - y1)
+            if px < x1 + t * (x2 - x1):
+                inside = not inside
+        return inside
+
+    xs = np.linspace(-1.3, 11.7, 28)
+    ys = np.linspace(-1.1, 11.3, 26)
+    gx, gy = np.meshgrid(xs, ys)
+    got = pip_mask(gx.ravel(), gy.ravel(), v)
+    exp = np.array([evenodd(x, y) for x, y in zip(gx.ravel(), gy.ravel())])
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_hole_classify_boundary_cells_consistent():
+    """classify_cells must treat phantom edges as real edges (it builds
+    the edge set from the flat run with wraparound, classify.py): every
+    covered cell is interior/boundary-consistent with exhaustive PIP of
+    its center."""
+    from raster_join_spark.fixtures import COARSE_GRID, HOLE_POLYS
+
+    t = classify_cells(COARSE_GRID, HOLE_POLYS)
+    cls_kind = dict(zip(zip(t.cls_cell.tolist(), t.cls_poly.tolist()),
+                        t.cls_kind.tolist()))
+    g = COARSE_GRID
+    for (cell, poly), kind in list(cls_kind.items())[:4000]:
+        if kind != INTERIOR:
+            continue
+        cx = g.x0 + (cell % g.nx + 0.5) * g.cell_w
+        cy = g.y0 + (cell // g.nx + 0.5) * g.cell_h
+        assert pip_mask(np.array([cx]), np.array([cy]),
+                        HOLE_POLYS.poly_verts(poly))[0], (
+            f"interior cell {cell} of donut {poly} has center outside"
+        )

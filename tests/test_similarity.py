@@ -159,3 +159,36 @@ def test_ivf_topk_recall(spark, emb, emb_pdf):
         )
         recalls.append(len(got & exact) / 10)
     assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_ivf_pruned_store_matches_inplan_and_prunes(spark, emb, emb_pdf, tmp_path):
+    """The at-rest IVF layout must (a) return EXACTLY what the in-plan
+    ivf_topk returns (same centroids -> same candidates -> same IEEE
+    rerank) and (b) physically scan only the probed list directories."""
+    rng = np.random.RandomState(11)
+    q = rng.normal(size=16)
+    base = str(tmp_path / "ivfstore")
+    cent = S.ivf_write_store(emb, base, n_lists=8, train_sample=300)
+    assert cent.shape == (8, 16)
+    report: dict = {}
+    got = (
+        S.ivf_topk_pruned(spark, base, q, k=10, n_probe=4, report=report)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = (
+        S.ivf_topk(spark, emb, q, k=10, n_lists=8, n_probe=4, train_sample=300)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # the prune: 4 of the lists on disk, and only those dirs were listed
+    assert report["scanned_partitions"] == 4
+    assert report["total_partitions"] >= 4
+    assert sorted(report["probes"])[:1] != []  # probes recorded
+    # the scan's input files all live under probed directories
+    probed = {f"ivf_list={p}" for p in report["probes"]}
+    files = S.ivf_topk_pruned(spark, base, q, k=10, n_probe=4).inputFiles()
+    assert files, "scan should have concrete input files"
+    for f in files:
+        assert any(seg in f for seg in probed), f"unprobed file scanned: {f}"

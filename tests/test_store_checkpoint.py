@@ -352,3 +352,55 @@ def test_pre_filelist_manifest_append_and_expire(spark, pts, tmp_path):
     assert report["removed_files"] == 0
     assert st.read(spark).count() == nw + ne
     assert report["removed_snapshots"] == []
+
+
+def test_empty_batch_commits_typed_empty_snapshot(spark, pts, tmp_path):
+    """An empty overwrite genuinely empties the table: the zero-partition
+    snapshot reads back as an empty TYPED frame (same columns as a
+    file-backed read), and pruned_read stays functional."""
+    st = TileStore(base_dir=str(tmp_path / "ts_empty"), grid=COARSE_GRID,
+                   n_buckets=8, salt=4, salt_threshold=100)
+    st.write(pts, ts_now=1.0)
+    full_cols = set(st.read(spark).columns)
+    m = st.write(pts.limit(0), ts_now=2.0)  # overwrite with nothing
+    assert m["snapshot_id"] == 2 and m["partitions"] == []
+    back = st.read(spark)
+    assert back.count() == 0
+    assert set(back.columns) == full_cols
+    df, report = st.pruned_read(spark, box=(0.0, 0.0, 1.0, 1.0))
+    assert df.count() == 0 and report["scanned_partitions"] == 0
+    # time travel to snapshot 1 still sees the data (snapshot isolation)
+    assert st.read(spark, snapshot_id=1).count() == 1000
+
+
+def test_first_write_empty_then_append(spark, pts, tmp_path):
+    st = TileStore(base_dir=str(tmp_path / "ts_empty0"), grid=COARSE_GRID,
+                   n_buckets=8, salt=4, salt_threshold=100)
+    st.write(pts.limit(0), ts_now=1.0)
+    assert st.read(spark).count() == 0
+    st.write(pts, mode="append", ts_now=2.0)
+    assert st.read(spark).count() == 1000
+
+
+def test_concurrent_commit_one_wins_one_raises(spark, pts, tmp_path):
+    """Two writers racing on the same parent snapshot: the CAS on the
+    snapshot manifest file lets exactly one commit; the loser raises
+    ConcurrentCommitError instead of silently clobbering current."""
+    from raster_join_spark.sources.tiles import ConcurrentCommitError
+
+    base = str(tmp_path / "ts_race")
+    w1 = TileStore(base_dir=base, grid=COARSE_GRID, n_buckets=8, salt=4,
+                   salt_threshold=100)
+    w2 = TileStore(base_dir=base, grid=COARSE_GRID, n_buckets=8, salt=4,
+                   salt_threshold=100)
+    w1.write(pts, ts_now=1.0)
+    # simulate the race: both writers observed parent snapshot 1; w1
+    # commits snapshot 2 first, then w2 tries to commit against the
+    # same (stale) parent it captured before w1's commit
+    prev = w2.current_manifest()
+    w1.write(pts, mode="append", ts_now=2.0)
+    with pytest.raises(ConcurrentCommitError):
+        w2._commit_manifest(prev, {}, set(), ts_now=2.5, operation="append")
+    # the winner's commit is intact
+    assert w1.current_manifest()["snapshot_id"] == 2
+    assert w1.read(spark).count() == 2000
