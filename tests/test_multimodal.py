@@ -36,6 +36,40 @@ def test_media_meta_schema_and_determinism(spark, media_df):
         assert r.width == expected_w[r.url]
 
 
+def test_meta_batch_vectorized_matches_per_row_spec():
+    """FakeCodec's vectorized meta_batch must agree exactly with the
+    per-row Codec.meta fallback (same values, nulls stay null)."""
+    import pandas as pd
+
+    payloads = pd.Series(
+        [b"x" * (100 + i * 7) for i in range(20)] + [None, b"", b"y" * 3]
+    )
+    got = FakeCodec().meta_batch(payloads)
+    ref = Codec.meta_batch(FakeCodec(), payloads)  # the per-row fallback
+    for col in ["mime", "width", "height", "n_frames"]:
+        g = got[col].tolist()
+        r = ref[col].tolist()
+        assert all(
+            (pd.isna(a) and pd.isna(b)) or a == b for a, b in zip(g, r)
+        ), col
+
+
+def test_attach_media_meta_null_payload(spark):
+    df = spark.createDataFrame(
+        [("u0", b"abc"), ("u1", None)], "url string, html binary"
+    )
+    out = (
+        attach_media_meta(df)
+        .select("url", "media_meta.*")
+        .toPandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert out.loc[0, "mime"] == "image/fake"
+    import pandas as pd
+
+    assert pd.isna(out.loc[1, "width"]) and pd.isna(out.loc[1, "mime"])
+
+
 def test_extract_features_shapes(spark, media_df):
     out = extract_features(media_df, n_features=8).toPandas()
     assert len(out) == 50
