@@ -272,63 +272,99 @@ def _block_topk_by_cell(
     x: str,
     y: str,
     id_col: str,
-    tile: int | None = None,
+    n_groups: int | None = None,
+    max_pts_per_block: int = 2048,
+    cell_counts: DataFrame | None = None,
 ) -> DataFrame:
-    """Tile-blocked kNN: cogroup (q_id, qx, qy, cell_id) probes with
-    (cell_id, id, x, y) points by a TILE of cells and compute each
-    probing query's top-k within the tile vectorized in numpy — the
-    Arrow transfer is O(|probes| + |points|) rows and the output is
-    <= k rows per (query, tile), so hot-cell skew never materializes
-    the quadratic (query, candidate) pair set in the JVM (it runs as a
-    chunked distance matrix inside the block instead).
+    """Bucket-blocked kNN: cogroup (q_id, qx, qy, cell_id) probes with
+    (cell_id, id, x, y) points by a HASH BUCKET of cells
+    (``cell_id % n_groups``) and compute each probing query's top-k
+    within the bucket vectorized in numpy — the Arrow transfer is
+    O(|probes| + |points|) rows and the output is <= k rows per
+    (query, bucket), so hot-cell skew never materializes the quadratic
+    (query, candidate) pair set in the JVM (it runs as a chunked
+    distance matrix inside the block instead).
 
-    The tile exists ONLY to bound the number of cogroup groups on
-    very fine grids (the pandas cogroup runner pays ~0.5-1ms per
-    GROUP invocation, so per-cell groups on a multi-million-cell grid
-    would put millions of Python calls on the critical path). On
-    ordinary grids the auto rule degenerates to tile=1 == per-cell
-    grouping, which measured FASTER than any larger tile at sf0.1
-    because coarse tiles serialize the hot region's pair volume into
-    few Python calls. When a tile does hold multiple cells, the
-    kernel segments rows per cell internally and reduces to
-    <= k rows per (query, tile) before the JVM merge.
+    The bucket count balances two costs. The pandas cogroup runner
+    pays ~0.5-1ms of fixed overhead per GROUP invocation, so per-cell
+    grouping puts |probed cells| Python calls on the critical path
+    (measured at sf0.1: 22k cells -> 14-20s wall for a ~3.7M-pair
+    kernel that computes in well under a second). Few HUGE groups
+    lose parallelism and (for spatially contiguous tiles, the round-5
+    design) concentrate the hot REGION's whole pair volume into one
+    serialized call. Hash buckets get both: group count capped near
+    ~512-32k, while neighboring hot cells scatter across buckets, so
+    the skewed region's work spreads over the executor pool. A single
+    pathological cell still lands in one bucket, but its work is one
+    vectorized distance block, not per-row Python. Group SIZE stays
+    bounded by cells-per-bucket x per-cell occupancy — the auto rule
+    keeps <= ~64 cells per bucket until the 32768-group cap engages.
 
     Distance arithmetic is the identical IEEE double sequence as the
     SQL oracle ((x-qx)^2 + (y-qy)^2, exact integers in microdegree
     space); the (dist2, id) order is total (ids unique), and both the
-    per-cell selection and the per-tile reduce rank by it, so
-    tile-partial top-k then JVM array_sort merge is bit-exact vs the
-    flat join form.
+    per-cell selection and the per-bucket reduce rank by it, so
+    bucket-partial top-k then JVM array_sort merge is bit-exact vs
+    the flat join form.
+
+    Hot-cell SALTING: a single cell holding tens of thousands of points
+    receives every nearby query's probes, and its quadratic distance
+    block would serialize in one task. Cells with more than
+    ``max_pts_per_block`` points split their POINT rows into
+    ceil(n/max_pts) deterministic hash slices; probes touching those
+    cells replicate to every slice. Per-slice top-k then the existing
+    per-query merge is exact (top-k is distributive over any point
+    partition, ids break ties totally), so results are bit-identical —
+    the hot cell's work just spreads over the executor pool.
 
     applyInPandas deliberately: the applyInArrow cogroup runner
     measured ~2x SLOWER end-to-end on Spark 4.1.2 (identical numpy
     kernel) — the numeric arrow->pandas conversion is not the
     bottleneck."""
-    import math
-
     import numpy as np
     import pandas as pd
 
-    # tile side (in cells), auto: cap the GROUP COUNT at ~32k so a
-    # fine grid (e.g. 2048x2048 = 4.2M cells) cannot put millions of
-    # per-group Python invocations (~0.5-1ms each) on the critical
-    # path. Measured at sf0.1 (22k cells, hot-box skew): tile=1 is
-    # FASTEST (4-8s) and larger tiles are slower (8-11s) because a
-    # big tile concentrates the hot region's whole pair volume into
-    # one or two serialized Python calls — so tiling engages only
-    # when the group-count cap demands it, never to "amortize" on
-    # grids this size.
-    if tile is None:
-        tile = max(1, int(math.ceil(math.sqrt(grid.n_cells / 32768.0))))
-    nbx = (grid.nx + tile - 1) // tile
+    if n_groups is None:
+        n_groups = int(min(grid.n_cells, max(512, grid.n_cells // 64), 32768))
+    n_groups = max(1, min(n_groups, grid.n_cells))
 
-    def bucket_col(cell):
-        cx = cell % F.lit(grid.nx)
-        cy = F.floor((cell - cx) / F.lit(grid.nx)).cast("long")
-        return (
-            F.floor(cx / F.lit(tile)).cast("long")
-            + F.lit(nbx) * F.floor(cy / F.lit(tile)).cast("long")
-        ).alias("tile_id")
+    # hot-cell split table: (cell_id, _nsplit) for cells over budget.
+    # Computed on the (already probe-pruned) point side — a map-side-
+    # combined count, broadcast to both sides.
+    # ``cell_counts`` lets a caller with an already-materialized
+    # (cell_id, _n) frame (knn_join_bulk persists one for radius
+    # seeding) skip re-aggregating the point side every invocation; a
+    # superset of the probed cells is fine — unprobed hot cells simply
+    # never appear in either cogroup side.
+    if cell_counts is None:
+        cell_counts = pts.groupBy("cell_id").agg(F.count(F.lit(1)).alias("_n"))
+    hot = cell_counts.filter(F.col("_n") > max_pts_per_block).select(
+        "cell_id",
+        F.ceil(F.col("_n") / F.lit(max_pts_per_block))
+        .cast("int")
+        .alias("_nsplit"),
+    )
+    pts = pts.join(F.broadcast(hot), "cell_id", "left").withColumn(
+        "_salt",
+        F.when(F.col("_nsplit").isNull(), F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsplit")).cast("int")
+        ),
+    )
+    probes = probes.join(F.broadcast(hot), "cell_id", "left").withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("_nsplit"), F.lit(1)) - 1)
+        ),
+    )
+    # fold the salt into the segmentation key so a probe replica only
+    # ever meets ITS OWN point slice (two slices of one cell colliding
+    # into one group would hand each replica the full point set and
+    # duplicate candidates in the merge). 2^20 slices x 2048 pts bounds
+    # a single cell at ~2G points before shift collision — far beyond
+    # any sane grid; cell ids stay within int64 up to ~2^43 cells.
+    _ck = (F.col("cell_id") * F.lit(1 << 20) + F.col("_salt")).alias("cell_id")
+    pts = pts.select(_ck, id_col, x, y)
+    probes = probes.select(_ck, "q_id", "qx", "qy")
 
     q_t = probes.schema["q_id"].dataType
     id_t = pts.schema[id_col].dataType
@@ -454,20 +490,23 @@ def _block_topk_by_cell(
             {"q_id": aq[take], id_col: ai[take], "dist2": ad[take]}
         )
 
-    if tile == 1:
-        pts_sel = pts.select("cell_id", id_col, x, y)
-        probe_sel = probes.select("cell_id", "q_id", "qx", "qy")
-        return probe_sel.groupBy("cell_id").cogroup(
-            pts_sel.groupBy("cell_id")
+    if n_groups >= grid.n_cells:
+        # bucket == (cell, slice): no segmentation, no per-bucket
+        # reduce (each probe row already yields exactly one <= k
+        # selection per slice; the caller's merge is distributive)
+        return probes.groupBy("cell_id").cogroup(
+            pts.groupBy("cell_id")
         ).applyInPandas(fn_single, out_schema)
-    pts_sel = pts.select(
-        bucket_col(F.col("cell_id")), "cell_id", id_col, x, y
+    # xxhash64, not plain modulo: the salted key is cell_id << 20, and
+    # a power-of-two-friendly n_groups would collapse every salt-0 row
+    # into a handful of buckets under `key % n_groups`
+    bucket = F.pmod(F.xxhash64(F.col("cell_id")), F.lit(n_groups)).alias(
+        "bucket_id"
     )
-    probe_sel = probes.select(
-        bucket_col(F.col("cell_id")), "cell_id", "q_id", "qx", "qy"
-    )
-    return probe_sel.groupBy("tile_id").cogroup(
-        pts_sel.groupBy("tile_id")
+    pts_sel = pts.select(bucket, "cell_id", id_col, x, y)
+    probe_sel = probes.select(bucket, "cell_id", "q_id", "qx", "qy")
+    return probe_sel.groupBy("bucket_id").cogroup(
+        pts_sel.groupBy("bucket_id")
     ).applyInPandas(fn, out_schema)
 
 
@@ -483,6 +522,7 @@ def knn_join_bulk(
     n_total: int | None = None,
     max_cells_per_query: int = 4096,
     max_rounds: int = 6,
+    max_pts_per_cell: int = 1024,
     stats: dict | None = None,
 ) -> DataFrame:
     """Set-oriented exact kNN: ``queries`` is a DataFrame (q_id, qx, qy)
@@ -503,14 +543,26 @@ def knn_join_bulk(
     when its kth distance <= (r*cell_min)^2; certified rows exit to the
     result union, the rest re-probe at 4x radius (re-probing the full
     disk, not an annulus, keeps rounds stateless — total probe work is
-    bounded by ~4/3 of the final disk). When the disk would exceed
-    ``max_cells_per_query`` (broadcast-size guard) or ``max_rounds``,
-    remaining queries resolve by ONE broadcast nested-loop pass of
-    pending queries against all points — exact by construction, and the
-    right plan exactly when disks would have covered most of the grid.
+    bounded by ~4/3 of the final disk).
 
-    The per-round driver footprint is ONE count() per round (loop
-    control); results never land on the driver.
+    ``r`` is PER QUERY, seeded from the query's own-cell occupancy (one
+    map-side-combined per-cell count, left-joined to the query table),
+    floored by the global density: under the hot-box skew the fixtures
+    and real city data share, a global-density radius makes every
+    hot-region query probe the whole hot region (measured at sf0.1:
+    r=4 for all -> 810k probe rows, ~200M pairs against two ~9.4k-point
+    hot cells, 2.5M merge rows). Local seeding sends dense-cell queries
+    out at r=1 and only sparse-region queries wide. Radii cap at the
+    ``max_cells_per_query`` disk bound; when every pending query is at
+    the cap (its top-k can no longer change, so re-probing is pure
+    waste) or after ``max_rounds``, the remainder resolves by ONE
+    broadcast nested-loop pass of pending queries against all points —
+    exact by construction, and the right plan exactly when disks would
+    have covered most of the grid.
+
+    The per-round driver footprint is ONE action per round (a
+    count + min-pending-radius aggregate for loop control); results
+    never land on the driver.
 
     Execution contract (round-4 verdict item 2): each round's probe
     join runs EXACTLY ONCE. The per-round ``topk`` frame is persisted and
@@ -521,147 +573,265 @@ def knn_join_bulk(
     result does NOT re-execute any probe join. Callers may ``unpersist``
     the returned frame when done with it.
     """
-    cell_min = min(grid.cell_w, grid.cell_h)
     if stats is None:
         stats = {}
     stats.update({"rounds": 0, "exhaustive": False})
-    pts = points.withColumn("cell_id", grid.cell_id_col(F.col(x), F.col(y))).filter(
-        F.col("cell_id").isNotNull()
-    )
-    if n_total is None:
-        n_total = points.count()
-    if n_total > 0:
+    # AQE's partition coalescing merges shuffle partitions by BYTE size;
+    # the cogroup kernel's cost is CPU per row, not bytes, so the tiny
+    # probe/point shuffles (a few MB) collapse into ONE task and the
+    # whole python kernel serializes (measured at sf0.1: a 10.9s
+    # single-task stage; 32-way the same work is sub-second). Disable
+    # coalescing for the duration of this operator's actions — every
+    # frame this function materializes is built and persisted inside it.
+    _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    _coalesce_prev = spark.conf.get(_coalesce_key, "true")
+    spark.conf.set(_coalesce_key, "false")
+    try:
+        # ONE materialization of the source: the operator re-reads the
+        # point set several times (occupancy counts, per-round probe
+        # prunes, the exhaustive fallback), and the source may be an
+        # expensive view (the fixture's regex-extraction CTE costs more
+        # than every kernel below combined). Cache the PROJECTED three
+        # columns — far smaller than the source table — and derive every
+        # grid assignment (including the refined grid) from the cache.
+        pts_base = points.select(id_col, x, y)
+        par = spark.sparkContext.defaultParallelism
+        if pts_base.rdd.getNumPartitions() < par:
+            # single-file sources otherwise serialize every scan into
+            # one task; at scale sources have >= par partitions and this
+            # is a no-op (never an extra shuffle of a big table)
+            pts_base = pts_base.repartition(par)
+        pts_base = pts_base.persist()
+
+        def _assign(g: GridSpec) -> DataFrame:
+            return pts_base.withColumn(
+                "cell_id", g.cell_id_col(F.col(x), F.col(y))
+            ).filter(F.col("cell_id").isNotNull())
+
+        pts = _assign(grid)
+        if n_total is None:
+            n_total = pts_base.count()
         import math as _math
 
+        counts = None
+        if n_total > 0:
+            # PROBE-GRID REFINEMENT: the caller's grid is a storage
+            # layout, not an obligation — kNN results are grid-invariant
+            # (the grid only drives candidate enumeration; certification
+            # is a distance bound). A hot cell forces quadratic work on
+            # every nearby query (fixture sf0.1: two ~9.4k-point cells
+            # attract ~1/3 of all probes -> 300M distance pairs), and
+            # the blow-up grows with SF. Refine until the densest cell
+            # holds <= max_pts_per_cell points, so per-cell blocks stay
+            # bounded no matter how skewed the data is.
+            counts = pts.groupBy("cell_id").agg(F.count(F.lit(1)).alias("_n"))
+            mx = counts.agg(F.max("_n")).collect()[0][0] or 0
+            if mx > max_pts_per_cell:
+                f = min(
+                    16, int(_math.ceil(_math.sqrt(mx / max_pts_per_cell)))
+                )
+                grid = GridSpec(
+                    grid.x0,
+                    grid.y0,
+                    grid.cell_w / f,
+                    grid.cell_h / f,
+                    grid.nx * f,
+                    grid.ny * f,
+                )
+                stats["refine_factor"] = f
+                pts = _assign(grid)
+                counts = pts.groupBy("cell_id").agg(
+                    F.count(F.lit(1)).alias("_n")
+                )
+        if counts is not None:
+            # reused every round (occupied-cell probe prune) and by the
+            # r0 seeding join; bounded by occupied cells
+            counts = counts.persist()
+        cell_min = min(grid.cell_w, grid.cell_h)
+        # radius cap: the per-query disk never exceeds max_cells_per_query
+        # (a query that would need more loops until the all-capped /
+        # max_rounds exit routes it to the exhaustive pass)
+        r_cap = max(1, (_math.isqrt(max_cells_per_query) - 1) // 2)
         density = n_total / max(grid.n_cells, 1)
-        r = max(0, int(_math.ceil(_math.sqrt((64.0 * k) / density) / 2.0)) - 1)
-    else:
-        r = 4
-    r = min(r, max(grid.nx, grid.ny) // 4)
 
-    qcx = F.floor((F.col("qx") - F.lit(grid.x0)) / F.lit(grid.cell_w))
-    qcy = F.floor((F.col("qy") - F.lit(grid.y0)) / F.lit(grid.cell_h))
-    pending = queries.select("q_id", "qx", "qy", qcx.alias("qcx"), qcy.alias("qcy"))
-    dist2_col = (
-        (F.col(x) - F.col("qx")) * (F.col(x) - F.col("qx"))
-        + (F.col(y) - F.col("qy")) * (F.col(y) - F.col("qy"))
-    ).alias("dist2")
-
-    def _topk(cand: DataFrame) -> DataFrame:
-        return cand.groupBy("q_id").agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("dist2"), F.col(id_col).alias("_id")))
-                ),
-                1,
-                k,
-            ).alias("top")
-        )
-
-    def _explode(certified: DataFrame) -> DataFrame:
-        return certified.select(
-            "q_id", F.posexplode("top").alias("pos", "s")
-        ).select(
-            "q_id",
-            F.col("s._id").alias(id_col),
-            (F.col("pos") + 1).alias("rank"),
-            F.col("s.dist2").alias("dist2"),
-        )
-
-    results: list[DataFrame] = []
-    kept: list[DataFrame] = []
-    cached = False
-    while True:
-        stats["rounds"] += 1
-        exhaust = (
-            (2 * r + 1) ** 2 > max_cells_per_query or stats["rounds"] > max_rounds
-        )
-        if exhaust:
-            # one broadcast nested-loop pass: pending queries x all
-            # in-grid points; globally exact, closes out every straggler
-            stats["exhaustive"] = True
-            cand = pts.crossJoin(
-                F.broadcast(pending.select("q_id", "qx", "qy"))
-            ).select("q_id", F.col(id_col), dist2_col)
-            results.append(_explode(_topk(cand)))
-            break
-        offs = F.sequence(F.lit(-r), F.lit(r))
-        disk = (
-            pending.withColumn("dx", F.explode(offs))
-            .withColumn("dy", F.explode(offs))
-            .withColumn("cx", F.col("qcx") + F.col("dx"))
-            .withColumn("cy", F.col("qcy") + F.col("dy"))
-            .filter(
-                (F.col("cx") >= 0)
-                & (F.col("cx") < grid.nx)
-                & (F.col("cy") >= 0)
-                & (F.col("cy") < grid.ny)
+        qcx = F.floor((F.col("qx") - F.lit(grid.x0)) / F.lit(grid.cell_w))
+        qcy = F.floor((F.col("qy") - F.lit(grid.y0)) / F.lit(grid.cell_h))
+        pending = queries.select("q_id", "qx", "qy", qcx.alias("qcx"), qcy.alias("qcy"))
+        if n_total > 0:
+            # per-query initial radius from the query's OWN-CELL occupancy
+            # (floored by the global density): one map-side-combined count
+            # per occupied cell, joined to the query table — under hot-box
+            # skew this is the difference between every hot query probing
+            # the whole hot region and probing its immediate ring
+            d_eff = F.greatest(
+                F.coalesce(F.col("_n"), F.lit(0)).cast("double"),
+                F.lit(float(density)),
             )
-            .select(
+            r0 = F.ceil(F.sqrt(F.lit(64.0 * k) / d_eff) / F.lit(2.0)) - F.lit(1)
+            pending = (
+                pending.withColumn(
+                    "cell_id",
+                    (F.col("qcx") + F.lit(grid.nx) * F.col("qcy")).cast("long"),
+                )
+                .join(counts, "cell_id", "left")
+                .withColumn(
+                    "r",
+                    F.least(
+                        F.greatest(r0.cast("long"), F.lit(1)), F.lit(int(r_cap))
+                    ),
+                )
+                .drop("cell_id", "_n")
+            )
+        else:
+            pending = pending.withColumn("r", F.lit(min(4, r_cap)))
+        # round 1's plan references pending three times (probe disk,
+        # probed-cell distinct for the point prune, certification join);
+        # caching the O(|queries|) frame computes the counts-join subtree
+        # once instead of three times
+        pending = pending.persist()
+        first_pending = pending
+        dist2_col = (
+            (F.col(x) - F.col("qx")) * (F.col(x) - F.col("qx"))
+            + (F.col(y) - F.col("qy")) * (F.col(y) - F.col("qy"))
+        ).alias("dist2")
+
+        def _topk(cand: DataFrame) -> DataFrame:
+            return cand.groupBy("q_id").agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("dist2"), F.col(id_col).alias("_id")))
+                    ),
+                    1,
+                    k,
+                ).alias("top")
+            )
+
+        def _explode(certified: DataFrame) -> DataFrame:
+            return certified.select(
+                "q_id", F.posexplode("top").alias("pos", "s")
+            ).select(
                 "q_id",
-                "qx",
-                "qy",
-                (F.col("cx") + F.lit(grid.nx) * F.col("cy")).alias("cell_id"),
+                F.col("s._id").alias(id_col),
+                (F.col("pos") + 1).alias("rank"),
+                F.col("s.dist2").alias("dist2"),
             )
-        )
-        # per-cell BLOCK top-k instead of a raw candidate join: a
-        # broadcast join + collect_list materializes every (query,
-        # point-in-disk) pair in the JVM — under hot-cell skew that is
-        # O(|hot queries| x |hot points|) rows (measured 302M rows in
-        # round 1 at sf0.1, ~3.7M expected under uniformity) and the
-        # aggregation buffers all of it. Cogrouping probes and points by
-        # cell keeps the Arrow transfer at O(probes + points) rows; the
-        # quadratic distance work runs vectorized in numpy inside each
-        # cell block, and only <= k rows per (query, cell) ever reach
-        # the JVM merge. Per-cell top-k then global merge is exact
-        # (distributive top-k); ties break by (dist2, id) in BOTH the
-        # numpy block and the JVM merge, and the arithmetic is the same
-        # IEEE double sequence as dist2_col, so results are bit-equal
-        # to the join form.
-        # prune the point side to probed cells BEFORE the cogroup
-        # shuffle (the old broadcast join got this pruning implicitly):
-        # later rounds have few pending queries, so without this the
-        # full point table would re-shuffle every round. The distinct
-        # cell list is strictly smaller than the disk table the old
-        # plan already broadcast.
-        pts_round = pts.join(
-            F.broadcast(disk.select("cell_id").distinct()), "cell_id", "leftsemi"
-        )
-        percell = _block_topk_by_cell(disk, pts_round, grid, k, x, y, id_col)
-        # ONE persisted frame per round, covering BOTH branches: the
-        # loop-control count below materializes it, so the certified
-        # filter and the next round's pending filter are cache reads —
-        # the expensive probe stage executes exactly once per round
-        topk = pending.join(_topk(percell), "q_id", "left").persist()
-        kept.append(topk)
-        done_cond = (F.size("top") >= k) & (
-            F.element_at("top", k)["dist2"] <= F.lit(float((r * cell_min) ** 2))
-        )
-        results.append(_explode(topk.filter(done_cond).select("q_id", "top")))
-        nxt = topk.filter(~F.coalesce(done_cond, F.lit(False))).select(
-            "q_id", "qx", "qy", "qcx", "qcy"
-        )
-        n_pending = nxt.count()  # the ONLY driver-side datum per round
-        pending = nxt
-        if n_pending == 0:
-            break
-        if not cached:
-            pts = pts.persist()
-            cached = True
-        r = 4 * r + 3  # 4x radius growth; stateless full-disk re-probe
-    out = results[0]
-    for df in results[1:]:
-        out = out.unionByName(df)
-    # materialize the bounded O(q x k) result ONCE while the round caches
-    # are live, then release every intermediate cache — consumption of
-    # the returned frame is a cache read, never a probe-join re-run
-    out = out.persist()
-    out.count()
-    for df in kept:
-        df.unpersist(False)
-    if cached:
-        pts.unpersist(False)
-    return out
+
+        results: list[DataFrame] = []
+        kept: list[DataFrame] = []
+        min_r_pending = 0
+        while True:
+            stats["rounds"] += 1
+            # all-capped pending queries can never certify (their disk, and
+            # with it their top-k, can no longer grow) — re-probing is waste
+            exhaust = stats["rounds"] > max_rounds or min_r_pending >= r_cap
+            if exhaust:
+                # one broadcast nested-loop pass: pending queries x all
+                # in-grid points; globally exact, closes out every straggler
+                stats["exhaustive"] = True
+                cand = pts.crossJoin(
+                    F.broadcast(pending.select("q_id", "qx", "qy"))
+                ).select("q_id", F.col(id_col), dist2_col)
+                results.append(_explode(_topk(cand)))
+                break
+            offs = F.sequence(-F.col("r"), F.col("r"))
+            disk = (
+                pending.withColumn("dx", F.explode(offs))
+                .withColumn("dy", F.explode(offs))
+                .withColumn("cx", F.col("qcx") + F.col("dx"))
+                .withColumn("cy", F.col("qcy") + F.col("dy"))
+                .filter(
+                    (F.col("cx") >= 0)
+                    & (F.col("cx") < grid.nx)
+                    & (F.col("cy") >= 0)
+                    & (F.col("cy") < grid.ny)
+                )
+                .select(
+                    "q_id",
+                    "qx",
+                    "qy",
+                    (F.col("cx") + F.lit(grid.nx) * F.col("cy")).alias("cell_id"),
+                )
+            )
+            if counts is not None:
+                # EMPTY probed cells contribute nothing to any top-k and
+                # certification is a pure distance bound over the probed
+                # AREA, so dropping their probe rows is exact — and on a
+                # refined grid a sparse query's disk is mostly empty
+                # cells, i.e. this prunes the dominant share of the
+                # Arrow feed into the python kernel
+                disk = disk.join(
+                    F.broadcast(counts.select("cell_id")), "cell_id", "leftsemi"
+                )
+            # per-cell BLOCK top-k instead of a raw candidate join: a
+            # broadcast join + collect_list materializes every (query,
+            # point-in-disk) pair in the JVM — under hot-cell skew that is
+            # O(|hot queries| x |hot points|) rows (measured 302M rows in
+            # round 1 at sf0.1, ~3.7M expected under uniformity) and the
+            # aggregation buffers all of it. Cogrouping probes and points by
+            # cell keeps the Arrow transfer at O(probes + points) rows; the
+            # quadratic distance work runs vectorized in numpy inside each
+            # cell block, and only <= k rows per (query, cell) ever reach
+            # the JVM merge. Per-cell top-k then global merge is exact
+            # (distributive top-k); ties break by (dist2, id) in BOTH the
+            # numpy block and the JVM merge, and the arithmetic is the same
+            # IEEE double sequence as dist2_col, so results are bit-equal
+            # to the join form.
+            # prune the point side to probed cells BEFORE the cogroup
+            # shuffle (the old broadcast join got this pruning implicitly):
+            # later rounds have few pending queries, so without this the
+            # full point table would re-shuffle every round. The distinct
+            # cell list is strictly smaller than the disk table the old
+            # plan already broadcast.
+            pts_round = pts.join(
+                F.broadcast(disk.select("cell_id").distinct()), "cell_id", "leftsemi"
+            )
+            percell = _block_topk_by_cell(
+                disk, pts_round, grid, k, x, y, id_col, cell_counts=counts
+            )
+            # ONE persisted frame per round, covering BOTH branches: the
+            # loop-control count below materializes it, so the certified
+            # filter and the next round's pending filter are cache reads —
+            # the expensive probe stage executes exactly once per round
+            topk = pending.join(_topk(percell), "q_id", "left").persist()
+            kept.append(topk)
+            r_reach = F.col("r").cast("double") * F.lit(float(cell_min))
+            done_cond = (F.size("top") >= k) & (
+                F.element_at("top", k)["dist2"] <= r_reach * r_reach
+            )
+            results.append(_explode(topk.filter(done_cond).select("q_id", "top")))
+            nxt = topk.filter(~F.coalesce(done_cond, F.lit(False))).select(
+                "q_id", "qx", "qy", "qcx", "qcy", "r"
+            )
+            # the ONLY driver-side action per round: pending count for loop
+            # exit + the minimum radius JUST PROBED (pre-growth) for the
+            # all-capped exhaustive route
+            row = nxt.agg(
+                F.count(F.lit(1)).alias("n"), F.min("r").alias("rmin")
+            ).collect()[0]
+            n_pending, min_r_pending = row["n"], row["rmin"] or 0
+            # 4x radius growth, capped; stateless full-disk re-probe
+            pending = nxt.withColumn(
+                "r", F.least(F.col("r") * 4 + 3, F.lit(int(r_cap)))
+            )
+            if n_pending == 0:
+                break
+        out = results[0]
+        for df in results[1:]:
+            out = out.unionByName(df)
+        # materialize the bounded O(q x k) result ONCE while the round caches
+        # are live, then release every intermediate cache — consumption of
+        # the returned frame is a cache read, never a probe-join re-run
+        out = out.persist()
+        out.count()
+        for df in kept:
+            df.unpersist(False)
+        first_pending.unpersist(False)
+        if counts is not None:
+            counts.unpersist(False)
+        pts_base.unpersist(False)
+        return out
+    finally:
+        spark.conf.set(_coalesce_key, _coalesce_prev)
 
 
 def radius_query(

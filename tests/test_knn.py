@@ -386,11 +386,11 @@ def test_knn_bulk_hotcell_skew_block_kernel(spark):
     got.unpersist()
 
 
-def test_block_kernel_tiled_equals_single_cell(spark):
-    """The fine-grid group-count cap switches the block kernel to
-    tile>1 grouping (segmented cells + per-tile reduce). After the
-    global per-query merge, every tile setting must agree with the
-    tile=1 hot path and with numpy brute force — including ties."""
+def test_block_kernel_bucketed_equals_single_cell(spark):
+    """The group-count cap switches the block kernel to hash-bucket
+    grouping (segmented cells + per-bucket reduce). After the global
+    per-query merge, every bucket count must agree with the per-cell
+    path and with numpy brute force — including ties."""
     from raster_join_spark.operators.knn import _block_topk_by_cell
 
     rng = np.random.RandomState(99)
@@ -420,9 +420,9 @@ def test_block_kernel_tiled_equals_single_cell(spark):
         pd.DataFrame(rows, columns=["q_id", "qx", "qy", "cell_id"])
     )
 
-    def merged(tile):
+    def merged(n_groups):
         out = _block_topk_by_cell(
-            probes, pts, grid, k, "x", "y", "event_id", tile=tile
+            probes, pts, grid, k, "x", "y", "event_id", n_groups=n_groups
         ).toPandas()
         res = {}
         for q, g in out.groupby("q_id"):
@@ -430,7 +430,7 @@ def test_block_kernel_tiled_equals_single_cell(spark):
             res[q] = list(zip(gg["event_id"], gg["dist2"]))
         return res
 
-    base = merged(1)
+    base = merged(grid.n_cells)  # per-cell path (fn_single)
     ids = np.arange(n)
     for q in range(nq):
         # brute force over the probed cells only (the kernel's scope)
@@ -441,5 +441,5 @@ def test_block_kernel_tiled_equals_single_cell(spark):
         order = np.lexsort((ids[m], d2))[: min(k, m.sum())]
         exp = list(zip(ids[m][order], d2[order]))
         assert base.get(q, []) == exp, f"q={q}"
-    for tile in (3, 7, 40):
-        assert merged(tile) == base, f"tile={tile}"
+    for n_groups in (1, 7, 61, 512, None):
+        assert merged(n_groups) == base, f"n_groups={n_groups}"
