@@ -105,9 +105,17 @@ def knn_join(
         max_radius = max(grid.nx, grid.ny)
     cell_min = min(grid.cell_w, grid.cell_h)
 
-    pts = points.withColumn("cell_id", grid.cell_id_col(F.col(x), F.col(y))).filter(
-        F.col("cell_id").isNotNull()
-    )
+    pts = points.select(id_col, x, y).withColumn(
+        "cell_id", grid.cell_id_col(F.col(x), F.col(y))
+    ).filter(F.col("cell_id").isNotNull())
+    # pts is the UN-shuffled probe side of every round's broadcast join,
+    # so each round's stage inherits the source's partition count — a
+    # single-file source (or an expensive single-partition view) would
+    # serialize every probe round into one task. At scale sources carry
+    # >= cores partitions and this is a no-op.
+    par = spark.sparkContext.defaultParallelism
+    if pts.rdd.getNumPartitions() < par:
+        pts = pts.repartition(par)
     if stats is None:
         stats = {}
     stats.update({"rounds": 0, "max_literal_rows": 0, "exhaustive": False})
