@@ -678,8 +678,8 @@ class SpatialJoin:
                     ]
                 ),
             )
-            if len(self._PAIRS_CACHE) > 64:
-                self._PAIRS_CACHE.clear()
+            while len(self._PAIRS_CACHE) >= 64:  # LRU: evict coldest only
+                self._PAIRS_CACHE.pop(next(iter(self._PAIRS_CACHE)))
             self._PAIRS_CACHE[wkey] = wdf
 
         def _scan(fr: float):
