@@ -443,3 +443,54 @@ def test_block_kernel_bucketed_equals_single_cell(spark):
         assert base.get(q, []) == exp, f"q={q}"
     for n_groups in (1, 7, 61, 512, None):
         assert merged(n_groups) == base, f"n_groups={n_groups}"
+
+
+def test_block_kernel_hot_cell_salting_exact(spark):
+    """Forcing a tiny max_pts_per_block splits every cell into point
+    slices with replicated probes. Per-slice top-k must merge to the
+    unsalted result exactly — no duplicated candidates (a probe replica
+    must only meet its own slice), no lost points."""
+    from raster_join_spark.operators.knn import _block_topk_by_cell
+
+    rng = np.random.RandomState(7)
+    n, k, nq = 900, 4, 60
+    x = rng.randint(0, 200, n).astype(np.float64)
+    y = rng.randint(0, 200, n).astype(np.float64)
+    grid = GridSpec(0.0, 0.0, 20.0, 20.0, 10, 10)  # ~9 pts/cell
+    pts = spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "x": x, "y": y})
+    ).withColumn("cell_id", grid.cell_id_col(F_col("x"), F_col("y"))).filter(
+        F_col("cell_id").isNotNull()
+    )
+    qx = rng.randint(0, 200, nq).astype(np.float64)
+    qy = rng.randint(0, 200, nq).astype(np.float64)
+    rows = []
+    for q in range(nq):
+        cx0, cy0 = int(qx[q] // 20), int(qy[q] // 20)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cx, cy = cx0 + dx, cy0 + dy
+                if 0 <= cx < 10 and 0 <= cy < 10:
+                    rows.append((q, qx[q], qy[q], cx + 10 * cy))
+    probes = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["q_id", "qx", "qy", "cell_id"])
+    )
+
+    def merged(max_pts):
+        out = _block_topk_by_cell(
+            probes, pts, grid, k, "x", "y", "event_id",
+            n_groups=16, max_pts_per_block=max_pts,
+        ).toPandas()
+        # each point lives in exactly one slice of one cell, so it may
+        # appear at most once per query — a duplicate is the
+        # replica-meets-foreign-slice bug
+        assert not out.duplicated(["q_id", "event_id"]).any()
+        res = {}
+        for q, g in out.groupby("q_id"):
+            gg = g.sort_values(["dist2", "event_id"]).head(k)
+            res[q] = list(zip(gg["event_id"], gg["dist2"]))
+        return res
+
+    base = merged(10**9)  # no cell splits
+    for max_pts in (3, 2, 1):
+        assert merged(max_pts) == base, f"max_pts_per_block={max_pts}"
