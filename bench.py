@@ -147,9 +147,20 @@ def run_suite(master: str, sf_dir: str) -> dict:
         "cold_spatial_hybrid_count": cold_hybrid,
         "knn_bulk_sec": timings.get("knn_bulk"),
         "knn_bulk_samples": knn_bulk_samples,
-        # r1-r4 totals excluded knn_bulk; subtract knn_bulk_sec from
-        # `value` when comparing against those rounds
-        "value_includes": ["knn_bulk (best of samples; was value_excludes through r5)"],
+        # r1-r5 totals excluded knn_bulk; `value_legacy` is the
+        # ex-knn_bulk total, directly comparable to those rounds'
+        # `value` (r6 verdict item 7 — emitted so the series stays
+        # machine-comparable; drop in r8)
+        "value_legacy": round(total - timings.get("knn_bulk", 0.0), 3),
+        # sampling policy disclosure (ADVICE r6): knn_bulk ALONE enters
+        # the total as min-over-SPARK_GRAFT_KNNB_SAMPLES fresh-plan
+        # samples (it is the one query whose wall time swings 2-3x on
+        # external host load); every other query is a single warmed shot
+        "value_includes": [
+            "knn_bulk (best of samples — min-over-samples applies to "
+            "knn_bulk ONLY, all other queries are single warmed shots; "
+            "was value_excludes through r5)"
+        ],
     }
 
 

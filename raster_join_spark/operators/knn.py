@@ -676,10 +676,25 @@ def knn_join_bulk(
                 F.lit(float(density)),
             )
             r0 = F.ceil(F.sqrt(F.lit(64.0 * k) / d_eff) / F.lit(2.0)) - F.lit(1)
+            # out-of-grid queries must NOT alias a valid cell (qcx=-1,
+            # qcy=1 would map onto cell (nx-1, 0) and seed the radius
+            # from an unrelated cell's occupancy — ADVICE r6): a null
+            # seeding cell misses the counts join, so d_eff falls back
+            # to the global density. Exactness was never at stake
+            # (certification bounds results), only the initial radius.
+            in_grid = (
+                (F.col("qcx") >= 0)
+                & (F.col("qcx") < grid.nx)
+                & (F.col("qcy") >= 0)
+                & (F.col("qcy") < grid.ny)
+            )
             pending = (
                 pending.withColumn(
                     "cell_id",
-                    (F.col("qcx") + F.lit(grid.nx) * F.col("qcy")).cast("long"),
+                    F.when(
+                        in_grid,
+                        (F.col("qcx") + F.lit(grid.nx) * F.col("qcy")).cast("long"),
+                    ),
                 )
                 .join(counts, "cell_id", "left")
                 .withColumn(

@@ -274,6 +274,8 @@ def ivf_topk(
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
+        # global Window over <= k post-limit rows: the single-partition
+        # WindowExec warning is expected and harmless (see ivf_topk_pruned)
         .withColumn(
             "rank",
             F.row_number().over(Window.orderBy(F.col("score").desc(), F.col(id_col))),
@@ -365,11 +367,38 @@ def ivf_topk_pruned(
             scanned_partitions=len(paths),
             probes=probes,
         )
+    if not paths:
+        # every probed list is empty on disk (k-means can leave lists
+        # unpopulated): zero candidates is the EXACT answer — ivf_topk
+        # returns an empty frame for the same inputs — but
+        # spark.read.parquet() requires at least one path, so emit a
+        # typed empty result instead of crashing (ADVICE r6). The id
+        # type comes from the store itself when any list exists.
+        if on_disk:
+            any_dir = os.path.join(data_dir, f"ivf_list={next(iter(on_disk))}")
+            id_type = spark.read.parquet(any_dir).schema[id_col].dataType
+        else:
+            id_type = T.LongType()
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(id_col, id_type),
+                    T.StructField("rank", T.IntegerType()),
+                    T.StructField("score", T.DoubleType()),
+                ]
+            ),
+        )
     cand = spark.read.option("basePath", data_dir).parquet(*paths)
     scored = cand.select(F.col(id_col), dot_expr(vec_col, q).alias("score"))
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
+        # rank via a global Window is intentional here: it runs AFTER
+        # the limit, over <= k rows in one tiny partition — the
+        # WindowExec single-partition warning is expected and harmless
+        # at any scale (the expensive ordering happened in the
+        # TakeOrdered above, not in the window)
         .withColumn(
             "rank",
             F.row_number().over(Window.orderBy(F.col("score").desc(), F.col(id_col))),

@@ -289,16 +289,24 @@ class TileStore:
             "schema": schema if schema is not None else (prev or {}).get("schema"),
         }
         os.makedirs(os.path.join(self.base_dir, "metadata"), exist_ok=True)
-        # CAS commit: the snapshot file is created EXCLUSIVELY — two
-        # writers that both read parent N and race to commit N+1 collide
-        # on the same snap path, and exactly one open(..., "x") succeeds.
-        # The loser gets a loud ConcurrentCommitError instead of silently
-        # clobbering metadata/current (Iceberg arbitration via catalog
-        # CAS; this is the filesystem equivalent).
+        # CAS commit: the manifest is written COMPLETE to a private tmp
+        # file, then hard-linked into its final name — link(2) fails
+        # atomically when the name exists, so of two writers racing on
+        # the same parent exactly one commits (Iceberg arbitration via
+        # catalog CAS; this is the filesystem equivalent), AND a
+        # snap-N.json can never be observed torn: a crash mid-write
+        # leaves only tmp garbage, never a half-written manifest. The
+        # commit point is therefore the link itself; metadata/current is
+        # just a roll-forwardable cache of max(snapshot id) — a writer
+        # that crashes between link and pointer advance leaves a fully
+        # committed snapshot that current_manifest() heals onto, so
+        # later commits never wedge on a phantom collision.
         snap_path = self._manifest_path(manifest["snapshot_id"])
+        tmp_path = f"{snap_path}.tmp.{os.getpid()}.{id(manifest)}"
+        with open(tmp_path, "w") as f:
+            json.dump(manifest, f, indent=1)
         try:
-            with open(snap_path, "x") as f:
-                json.dump(manifest, f, indent=1)
+            os.link(tmp_path, snap_path)
         except FileExistsError:
             raise ConcurrentCommitError(
                 f"snapshot {manifest['snapshot_id']} was already committed "
@@ -306,6 +314,8 @@ class TileStore:
                 f"{manifest['parent_snapshot_id']}); re-read the table and "
                 "retry the write"
             ) from None
+        finally:
+            os.remove(tmp_path)
         # `current` moves via atomic rename so readers never observe a
         # torn pointer file
         cur_tmp = os.path.join(
@@ -323,10 +333,28 @@ class TileStore:
 
     def current_manifest(self) -> dict | None:
         cur = os.path.join(self.base_dir, "metadata", "current")
-        if not os.path.exists(cur):
+        sid = 0
+        if os.path.exists(cur):
+            with open(cur) as f:
+                sid = int(f.read().strip())
+        ids = self.snapshot_ids()
+        latest = ids[-1] if ids else 0
+        if latest > sid:
+            # ORPHAN HEAL: a writer crashed after durably creating
+            # snap-<latest> (manifest files are hard-linked complete +
+            # exclusive, so existence == committed) but before advancing
+            # the pointer. Roll `current` forward so subsequent commits
+            # compute the right next id instead of colliding with the
+            # orphan forever; the pointer is only a cache of max(id).
+            heal_tmp = os.path.join(
+                self.base_dir, "metadata", f".current.tmp.heal.{latest}"
+            )
+            with open(heal_tmp, "w") as f:
+                f.write(str(latest))
+            os.replace(heal_tmp, cur)
+            sid = latest
+        if sid == 0:
             return None
-        with open(cur) as f:
-            sid = int(f.read().strip())
         with open(self._manifest_path(sid)) as f:
             return json.load(f)
 

@@ -494,3 +494,32 @@ def test_block_kernel_hot_cell_salting_exact(spark):
     base = merged(10**9)  # no cell splits
     for max_pts in (3, 2, 1):
         assert merged(max_pts) == base, f"max_pts_per_block={max_pts}"
+
+
+def test_knn_bulk_out_of_grid_query_no_cell_alias(spark):
+    """An out-of-grid query (qcx=-1) must not alias a valid cell when
+    seeding its initial radius (ADVICE r6: qcx + nx*qcy wraps onto cell
+    (nx-1, qcy-1) without bounds checks). Exactness was never at stake
+    (certification bounds results) — pin it anyway, with queries on all
+    four out-of-grid sides plus a far corner."""
+    from raster_join_spark.operators.knn import knn_join_bulk
+
+    rng = np.random.RandomState(17)
+    n = 4000
+    x = np.round(rng.uniform(0, 1000, n))
+    y = np.round(rng.uniform(0, 1000, n))
+    df = spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "x": x, "y": y})
+    )
+    grid = GridSpec(0.0, 0.0, 50.0, 50.0, 20, 20)
+    qs = [(0, -30.0, 500.0), (1, 1030.0, 500.0), (2, 500.0, -30.0),
+          (3, 500.0, 1030.0), (4, -500.0, -500.0)]
+    qdf = spark.createDataFrame(pd.DataFrame(qs, columns=["q_id", "qx", "qy"]))
+    k = 5
+    got = knn_join_bulk(spark, df, grid, qdf, k, n_total=n).toPandas()
+    assert len(got) == k * len(qs)
+    for q, qx, qy in qs:
+        d2 = (x - qx) * (x - qx) + (y - qy) * (y - qy)
+        order = np.lexsort((np.arange(n), d2))[:k]
+        sub = got[got.q_id == q].sort_values("rank")
+        assert sub["event_id"].tolist() == order.tolist(), f"q={q}"

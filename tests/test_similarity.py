@@ -3,6 +3,8 @@ embedding near-dup pairs."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -192,3 +194,36 @@ def test_ivf_pruned_store_matches_inplan_and_prunes(spark, emb, emb_pdf, tmp_pat
     assert files, "scan should have concrete input files"
     for f in files:
         assert any(seg in f for seg in probed), f"unprobed file scanned: {f}"
+
+
+def test_ivf_pruned_empty_probes_typed_empty(spark, emb, tmp_path):
+    """Every probed list absent on disk -> zero candidates is the exact
+    answer; ivf_topk_pruned must return a TYPED empty (id, rank, score)
+    frame instead of crashing on spark.read.parquet() with no paths
+    (ADVICE r6)."""
+    import shutil
+
+    rng = np.random.RandomState(11)
+    q = rng.normal(size=16)
+    base = str(tmp_path / "ivfstore_empty")
+    S.ivf_write_store(emb, base, n_lists=8, train_sample=300)
+    report: dict = {}
+    S.ivf_topk_pruned(spark, base, q, k=5, n_probe=2, report=report).collect()
+    # delete exactly the probed list directories: the same query now has
+    # zero candidate paths while OTHER lists still exist on disk
+    for p in report["probes"]:
+        d = os.path.join(base, "data", f"ivf_list={p}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    rep2: dict = {}
+    out = S.ivf_topk_pruned(spark, base, q, k=5, n_probe=2, report=rep2)
+    assert rep2["scanned_partitions"] == 0 and rep2["probes"] == report["probes"]
+    assert [f.name for f in out.schema.fields] == ["vec_id", "rank", "score"]
+    assert out.schema["vec_id"].dataType.typeName() == "long"
+    assert out.count() == 0
+    # store entirely empty: the LongType fallback path also stays typed
+    shutil.rmtree(os.path.join(base, "data"))
+    os.makedirs(os.path.join(base, "data"))
+    out2 = S.ivf_topk_pruned(spark, base, q, k=5, n_probe=2)
+    assert out2.count() == 0
+    assert [f.name for f in out2.schema.fields] == ["vec_id", "rank", "score"]

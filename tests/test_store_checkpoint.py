@@ -404,3 +404,33 @@ def test_concurrent_commit_one_wins_one_raises(spark, pts, tmp_path):
     # the winner's commit is intact
     assert w1.current_manifest()["snapshot_id"] == 2
     assert w1.read(spark).count() == 2000
+
+
+def test_orphan_manifest_heals_and_commits(spark, pts, tmp_path):
+    """A writer that crashes after durably creating snap-N+1 but BEFORE
+    advancing metadata/current must not wedge the table forever
+    (ADVICE r6): manifest files are created complete via tmp+hardlink,
+    so their existence IS the commit point — readers roll the stale
+    pointer forward and the next commit builds on the orphan instead of
+    colliding with it on every retry."""
+    base = str(tmp_path / "ts_orphan")
+    st = TileStore(base_dir=base, grid=COARSE_GRID, n_buckets=8, salt=4,
+                   salt_threshold=100)
+    st.write(pts, ts_now=1.0)
+    st.write(pts, mode="append", ts_now=2.0)  # snapshot 2, fully committed
+    cur = os.path.join(base, "metadata", "current")
+    with open(cur, "w") as f:  # simulate the crash: pointer never advanced
+        f.write("1")
+    # reader heals the pointer onto the committed orphan
+    assert st.current_manifest()["snapshot_id"] == 2
+    with open(cur) as f:
+        assert f.read().strip() == "2"
+    # and the next append commits snapshot 3 (no phantom collision)
+    st.write(pts, mode="append", ts_now=3.0)
+    m = st.current_manifest()
+    assert m["snapshot_id"] == 3 and m["parent_snapshot_id"] == 2
+    assert st.read(spark).count() == 3000
+    # no tmp litter left behind by the link-based CAS
+    litter = [f for f in os.listdir(os.path.join(base, "metadata"))
+              if ".tmp." in f]
+    assert litter == []
