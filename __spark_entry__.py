@@ -584,6 +584,22 @@ def _q_hole_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hole_evenodd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same hole-bearing collection under STANDARD OGC even-odd ring
+    semantics (ring_semantics="evenodd", r6 verdict item 6): rings are
+    honored via PolygonSet.evenodd_view's parity-cancelling anchor
+    bridges, so hole interiors still count OUTSIDE but the reference
+    rule's phantom-edge slivers are gone. Oracle replays the identical
+    augmented edge cycle (oracles.hole_evenodd_sql), so this mode is
+    exact-gated just like the reference-semantics mode."""
+    from raster_join_spark.fixtures import COARSE_GRID, HOLE_POLYS
+    from raster_join_spark.operators.spatial_join import SpatialJoin
+
+    return SpatialJoin(
+        spark, HOLE_POLYS, COARSE_GRID, ring_semantics="evenodd"
+    ).hybrid_join(_points(spark, sf_dir))
+
+
 _BINREC_FIXTURE_CAP = 1_000_000  # rows collected for the binary fixture
 
 
@@ -1000,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "spatial_hole_count": _q_hole_count,
+        "spatial_hole_evenodd": _q_hole_evenodd,
         "ann_ivf_pruned": _q_ann_ivf_pruned,
     }
 
@@ -1080,6 +1097,7 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": M.media_meta_sql(),
         "media_features": M.media_features_sql(),
         "spatial_hole_count": oracles.hole_count_sql(),
+        "spatial_hole_evenodd": oracles.hole_evenodd_sql(),
         # same centroids/probes/rerank as the in-plan IVF — the at-rest
         # layout must reproduce it exactly, so the oracle is shared
         "ann_ivf_pruned": S.ivf_topk_sql(ANN_QUERY, k=ANN_K, n_lists=8, n_probe=4),

@@ -140,6 +140,62 @@ class PolygonSet:
         ends = np.cumsum(self.ring_sizes[p])
         return [pv[s:e] for s, e in zip(np.r_[0, ends[:-1]], ends)]
 
+    def evenodd_view(self) -> "PolygonSet":
+        """OGC-style even-odd ring semantics (holes honored), expressed
+        as a PLAIN flat-run collection so every unchanged crossing-parity
+        kernel — numpy pip_mask/pip_candidates, the generated SQL oracle,
+        the all-JVM pip_col expression, classify_cells — computes it
+        without knowing rings exist.
+
+        Construction (the classic keyhole bridge, made parity-exact):
+        each ring is explicitly closed by re-appending its first vertex,
+        and every ring after the first is entered from and returned to
+        the FIRST ring's start vertex (the anchor). The resulting run's
+        inter-ring edges therefore come in coincident forward/backward
+        pairs (anchor->ring_start, ring_start->anchor) whose crossing
+        contributions cancel mod 2, while each ring contributes its own
+        closed cycle — i.e. the flattened crossing parity equals the
+        XOR of per-ring parities, which IS standard even-odd: hole
+        interiors test OUTSIDE, and the reference semantics' phantom-
+        edge slivers (PolyHandler.cpp:49-80 flattening) disappear.
+
+        Caveat: a point lying within one float ulp of a bridge segment
+        can see the pair's two xcross values differ in the last bit and
+        pick up a spurious crossing — a measure-zero sliver along a
+        segment the caller's geometry never defined. Engine and oracle
+        still agree bit-for-bit there (both replay the identical edge
+        run), so exactness gates are unaffected.
+
+        Single-ring collections return self (parity over one cycle is
+        independent of an explicit closing vertex)."""
+        if self.ring_sizes is None:
+            return self
+        new_polys: list[np.ndarray] = []
+        for p in range(self.n_polys):
+            rings = self.poly_rings(p)
+            if len(rings) == 1:
+                new_polys.append(rings[0])
+                continue
+            anchor = rings[0][:1]  # (1, 2) view of the first ring's start
+            run = [rings[0], anchor]
+            for i, ring in enumerate(rings[1:], start=1):
+                run.append(ring)
+                run.append(ring[:1])  # close the ring
+                if i < len(rings) - 1:
+                    run.append(anchor)  # return to anchor; the final
+                    # ring's return edge is the wraparound itself
+            new_polys.append(np.concatenate(run, axis=0))
+        offsets = np.zeros(self.n_polys + 1, dtype=np.int64)
+        for i, c in enumerate(new_polys):
+            offsets[i + 1] = offsets[i] + len(c)
+        return PolygonSet(
+            verts=np.concatenate(new_polys, axis=0)
+            if new_polys
+            else np.empty((0, 2), np.float64),
+            offsets=offsets,
+            name=f"{self.name}_evenodd",
+        )
+
     def save_text(self, path: str) -> None:
         """Write the reference's text format, round-tripping ring
         structure: load_text(save_text(ps)) reproduces the identical

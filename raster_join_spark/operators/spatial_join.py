@@ -190,6 +190,7 @@ class SpatialJoin:
         y: str = "y",
         dtype=np.float64,
         refine: int | str = "auto",
+        ring_semantics: str = "reference",
     ) -> None:
         """``dtype=np.float32`` reproduces the reference's storage
         precision end-to-end (TaxiRecord.hpp:121-133 narrows coordinates
@@ -204,7 +205,26 @@ class SpatialJoin:
         disables, an int forces a factor. Results are identical at any
         factor; only the physical interior/boundary split changes.
         float32 parity mode never refines (classification decisions
-        must mirror the reference's exactly)."""
+        must mirror the reference's exactly).
+
+        ``ring_semantics``: how multi-ring (hole-bearing) polygons are
+        interpreted, across ALL strategies (classification, PIP, cover):
+        ``"reference"`` (default) is the reference's bug-for-bug rule —
+        rings flatten into one vertex run (PolyHandler.cpp:49-80
+        pindexes) and the crossing parity walks that cycle, phantom
+        inter-ring edges included, so hole interiors count OUTSIDE but
+        thin slivers along the phantom edges misclassify vs ideal
+        donuts; ``"evenodd"`` is standard OGC even-odd with rings
+        honored (PolygonSet.evenodd_view — per-ring parity XOR, no
+        phantom-edge slivers). Single-ring collections are identical
+        under both."""
+        if ring_semantics not in ("reference", "evenodd"):
+            raise ValueError(
+                f"ring_semantics must be 'reference' or 'evenodd', "
+                f"got {ring_semantics!r}"
+            )
+        if ring_semantics == "evenodd":
+            polyset = polyset.evenodd_view()
         self.spark = spark
         self.polyset = polyset
         self.grid = grid

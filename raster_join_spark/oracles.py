@@ -203,6 +203,28 @@ def hole_count_sql() -> str:
     return f"WITH {POINTS_CTE} " + "\nUNION ALL\n".join(parts)
 
 
+def hole_evenodd_sql() -> str:
+    """Even-odd ring-semantics twin of hole_count_sql: pip_sql over each
+    donut's evenodd_view() run (per-ring closures + cancelling anchor
+    bridges, polygons.py) — the oracle replays the identical augmented
+    edge cycle, so the engine's "standard OGC even-odd" mode is held to
+    the same bit-exact bar as the reference-semantics mode. Hole
+    interiors count OUTSIDE here too, but the phantom-edge slivers of
+    the flattened rule are gone — the counts differ from
+    hole_count_sql exactly where the two semantics differ."""
+    from raster_join_spark.fixtures import HOLE_POLYS
+
+    eo = HOLE_POLYS.evenodd_view()
+    parts = []
+    for p in range(eo.n_polys):
+        pip = pip_sql("x", "y", eo.poly_verts(p))
+        parts.append(
+            f"SELECT CAST({p} AS BIGINT) AS poly_id, count(*) AS agg "
+            f"FROM points WHERE {pip}"
+        )
+    return f"WITH {POINTS_CTE} " + "\nUNION ALL\n".join(parts)
+
+
 def ingest_binary_sql() -> str:
     """Twin of the binary round-trip gate query: the same field
     derivations the Spark side writes into the taxi record file —

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import __spark_entry__ as e
 
-EXPECTED_QUERIES = 53  # r5: 51; r6 adds spatial_hole_count, ann_ivf_pruned
+EXPECTED_QUERIES = 54  # r6: 53; r7 adds spatial_hole_evenodd
 
 
 def test_gate_surface_is_pinned():
