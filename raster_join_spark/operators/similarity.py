@@ -298,11 +298,15 @@ def ivf_write_store(
     post-filter. This is the 100-TB shape: `ivf_list` is the physical
     partition key (one directory per list; at scale, an Iceberg identity
     partition), and a query touches n_probe/n_lists of the data on disk.
-    Centroids persist as a JSON sidecar so probes never retrain. Returns
-    the trained centroids (identical to :func:`ivf_topk`'s: same
-    deterministic orderBy-limit sample, same seed)."""
+    Centroids persist as a JSON sidecar so probes never retrain. Both
+    the data write (Spark) and the sidecar (sources/fs.py seam) speak
+    any Hadoop filesystem, so ``base_dir`` may be a plain path or an
+    hdfs://-/s3a://-style URI. Returns the trained centroids (identical
+    to :func:`ivf_topk`'s: same deterministic orderBy-limit sample,
+    same seed)."""
     import json
-    import os
+
+    from raster_join_spark.sources import fs as _fsmod
 
     sample = np.stack(
         [
@@ -317,10 +321,11 @@ def ivf_write_store(
     cent = _kmeans_np(sample, k=n_lists, seed=seed)
     assigned = emb.withColumn("ivf_list", ivf_assign_col(vec_col, cent))
     assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(
-        os.path.join(base_dir, "data")
+        _fsmod.join(base_dir, "data")
     )
-    with open(os.path.join(base_dir, "centroids.json"), "w") as f:
-        json.dump(cent.tolist(), f)
+    fs = _fsmod.store_fs(base_dir, emb.sparkSession)
+    fs.mkdirs(base_dir)
+    fs.write_text(_fsmod.join(base_dir, "centroids.json"), json.dumps(cent.tolist()))
     return cent
 
 
@@ -341,25 +346,30 @@ def ivf_topk_pruned(
     (same centroids -> same lists -> same candidates -> same unrolled
     IEEE dot). ``report`` (optional dict) records the prune:
     {total_partitions, scanned_partitions, probes} — the same evidence
-    shape as TileStore.pruned_read."""
+    shape as TileStore.pruned_read. ``base_dir`` may be a plain path or
+    a Hadoop-filesystem URI (sources/fs.py seam)."""
     import json
-    import os
 
-    with open(os.path.join(base_dir, "centroids.json")) as f:
-        cent = np.asarray(json.load(f), dtype=np.float64)
+    from raster_join_spark.sources import fs as _fsmod
+
+    fs = _fsmod.store_fs(base_dir, spark)
+    cent = np.asarray(
+        json.loads(fs.read_text(_fsmod.join(base_dir, "centroids.json"))),
+        dtype=np.float64,
+    )
     q = np.asarray(query, dtype=np.float64)
     qd = ((cent - q[None, :]) ** 2).sum(axis=1)
     probes = [int(i) for i in np.argsort(qd)[:n_probe]]
-    data_dir = os.path.join(base_dir, "data")
+    data_dir = _fsmod.join(base_dir, "data")
     on_disk = {
         int(d.split("=", 1)[1])
-        for d in os.listdir(data_dir)
+        for d in fs.listdir(data_dir)
         if d.startswith("ivf_list=")
     }
     # an empty probed list has no directory — skipping it is exact
     # (no vectors were assigned there, so it contributes no candidates)
     paths = [
-        os.path.join(data_dir, f"ivf_list={p}") for p in probes if p in on_disk
+        _fsmod.join(data_dir, f"ivf_list={p}") for p in probes if p in on_disk
     ]
     if report is not None:
         report.update(
@@ -375,7 +385,7 @@ def ivf_topk_pruned(
         # typed empty result instead of crashing (ADVICE r6). The id
         # type comes from the store itself when any list exists.
         if on_disk:
-            any_dir = os.path.join(data_dir, f"ivf_list={next(iter(on_disk))}")
+            any_dir = _fsmod.join(data_dir, f"ivf_list={next(iter(on_disk))}")
             id_type = spark.read.parquet(any_dir).schema[id_col].dataType
         else:
             id_type = T.LongType()
