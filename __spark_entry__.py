@@ -121,6 +121,19 @@ def _q_hybrid_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_split_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hierarchical split plan (r7): interior membership resolved
+    JVM-side through the boundary-only quadtree refinement's chained
+    broadcast probes; only the ~2% of points the deepest level cannot
+    classify reach the Arrow PIP kernel. Same oracle as the fused
+    hybrid/index gates — all physical plans must hash-agree."""
+    from raster_join_spark.fixtures import COARSE_GRID
+
+    return _sj(spark, COARSE_GRID).hybrid_join(
+        _points(spark, sf_dir), fused="split", coord_transfer="packed"
+    )
+
+
 def _q_hybrid_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raster_join_spark.fixtures import COARSE_GRID
     from raster_join_spark.operators.spatial_join import AggSpec
@@ -966,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_index_count": _q_index_count,
         "spatial_hybrid_count": _q_hybrid_count,
+        "spatial_split_count": _q_split_count,
         "spatial_hybrid_avg": _q_hybrid_avg,
         "spatial_filter_count": _q_filter_count,
         "spatial_raster_count": _q_raster_count,
@@ -1034,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "spatial_index_count": oracles.index_count_sql(),
         "spatial_hybrid_count": oracles.index_count_sql(),
+        "spatial_split_count": oracles.index_count_sql(),
         "spatial_hybrid_avg": oracles.avg_sql(),
         "spatial_filter_count": oracles.index_count_sql(where=FILTER_WHERE),
         "spatial_raster_count": oracles.raster_count_sql(),

@@ -223,6 +223,16 @@ def _flagship_once(master: str, sf_dir: str) -> dict:
     t_hybrid = best_of(lambda: SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
                        .hybrid_join(synth_points(spark, n_hybrid, 256),
                                     coord_transfer="packed").collect())
+    # r7: the accurate hybrid under the CURRENT auto rule — the
+    # hierarchical split (interior resolved JVM-side via the boundary-
+    # only quadtree's chained broadcast probes; ~2% of points through
+    # Arrow). Recorded ALONGSIDE the fused-kernel number so the r1-r6
+    # hybrid series stays comparable; exact-gated by the driver as
+    # spatial_split_count.
+    t_split = best_of(lambda: SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
+                      .hybrid_join(synth_points(spark, n_hybrid, 256),
+                                   fused="auto",
+                                   coord_transfer="packed").collect())
     try:
         load1 = float(open("/proc/loadavg").read().split()[0])
     except OSError:
@@ -231,6 +241,8 @@ def _flagship_once(master: str, sf_dir: str) -> dict:
             "docs_per_sec": round(n_raster / t_raster, 1),
             "hybrid_sec": round(t_hybrid, 3), "hybrid_docs": n_hybrid,
             "hybrid_docs_per_sec": round(n_hybrid / t_hybrid, 1),
+            "hybrid_split_sec": round(t_split, 3),
+            "hybrid_split_docs_per_sec": round(n_hybrid / t_split, 1),
             "load_after": load1}
 
 
@@ -388,6 +400,7 @@ def run_scaling(sf_dir: str) -> dict:
     results: dict[str, dict] = {}
     round_effs: list[float] = []
     hybrid_effs: list[float] = []
+    split_effs: list[float] = []
     loads: list[tuple] = []
     for _ in range(rounds):
         _wait_for_quiet_host()
@@ -413,6 +426,13 @@ def run_scaling(sf_dir: str) -> dict:
         hybrid_effs.append(
             round(
                 (results["local[8]"]["hybrid_sec"] / results["local[32]"]["hybrid_sec"]) / 4.0,
+                3,
+            )
+        )
+        split_effs.append(
+            round(
+                (results["local[8]"]["hybrid_split_sec"]
+                 / results["local[32]"]["hybrid_split_sec"]) / 4.0,
                 3,
             )
         )
@@ -448,8 +468,16 @@ def run_scaling(sf_dir: str) -> dict:
         "runs_local32": results[1]["all_runs_sec"],
         "round_efficiencies": round_effs,
         "round_efficiencies_hybrid": hybrid_effs,
+        "round_efficiencies_hybrid_split": split_effs,
         "round_loads_after": loads,
         "hybrid_docs": results[0]["hybrid_docs"],
+        # r7: the auto-rule (hierarchical split) hybrid at the same
+        # stratum, per level — throughput evidence for the accurate path
+        "hybrid_split_sec_local8": results[0].get("hybrid_split_sec"),
+        "hybrid_split_sec_local32": results[1].get("hybrid_split_sec"),
+        "hybrid_split_docs_per_sec_local32": results[1].get(
+            "hybrid_split_docs_per_sec"
+        ),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # persist every attempt; report the best window observed so far (the

@@ -430,6 +430,107 @@ def _clip_area_fraction_batch(
     return frac
 
 
+def _pair_geometry(
+    grid: GridSpec,
+    polyset: PolygonSet,
+    pair_poly: np.ndarray,
+    gx: np.ndarray,
+    gy: np.ndarray,
+    with_frac: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Geometric tests for EXPLICIT (polygon, cell) pairs on ``grid``:
+    returns (center_in, vert_in, edge_hit, frac) flat arrays. This is
+    the batch core of :func:`classify_cells` (which derives its pairs
+    from MBR covers); :func:`classify_pairs` exposes it for caller-
+    chosen pair lists — the hierarchical boundary-only refinement used
+    by the split hybrid plan classifies just the CHILDREN of the
+    previous level's boundary pairs, never a full-grid cover."""
+    offs = polyset.offsets
+    nv_per = np.diff(offs)
+    tot = len(pair_poly)
+    lbx = grid.x0 + gx.astype(np.float64) * grid.cell_w
+    lby = grid.y0 + gy.astype(np.float64) * grid.cell_h
+    rtx = lbx + grid.cell_w
+    rty = lby + grid.cell_h
+    ccx = lbx + 0.5 * grid.cell_w
+    ccy = lby + 0.5 * grid.cell_h
+
+    vd = polyset.verts.astype(np.float64)
+    base = offs[pair_poly].astype(np.int64)
+    nv_pp = nv_per[pair_poly]
+
+    center_in = np.zeros(tot, dtype=bool)
+    vert_in = np.zeros(tot, dtype=bool)
+    edge_hit = np.zeros(tot, dtype=bool)
+    frac = np.zeros(tot, dtype=np.float64)
+
+    CHUNK = 1 << 18
+    for nv in np.unique(nv_pp):
+        nv = int(nv)
+        sel_all = np.flatnonzero(nv_pp == nv)
+        for s0 in range(0, len(sel_all), CHUNK):
+            sel = sel_all[s0 : s0 + CHUNK]
+            b = base[sel]
+            lx, ly, rx, ry = lbx[sel], lby[sel], rtx[sel], rty[sel]
+            cx, cy = ccx[sel], ccy[sel]
+            # center PIP (same per-edge expression as pip_mask)
+            c = np.zeros(len(sel), dtype=bool)
+            vin = np.zeros(len(sel), dtype=bool)
+            ehit = np.zeros(len(sel), dtype=bool)
+            j = nv - 1
+            for i in range(nv):
+                vix, viy = vd[b + i, 0], vd[b + i, 1]
+                vjx, vjy = vd[b + j, 0], vd[b + j, 1]
+                j = i
+                straddle = (viy > cy) != (vjy > cy)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xcross = (vjx - vix) * (cy - viy) / (vjy - viy) + vix
+                c ^= straddle & (cx < xcross)
+                vin |= (vix >= lx) & (vix <= rx) & (viy >= ly) & (viy <= ry)
+                i2 = 0 if i == nv - 1 else i + 1
+                ehit |= _segments_intersect_rect(
+                    vix, viy, vd[b + i2, 0], vd[b + i2, 1], lx, ly, rx, ry
+                )
+            center_in[sel] = c
+            vert_in[sel] = vin
+            edge_hit[sel] = ehit
+            if with_frac:
+                bmask = vin | ehit
+                bs = sel[bmask]
+                if len(bs):
+                    frac[bs] = _clip_area_fraction_batch(
+                        vd, base[bs], nv, lbx[bs], lby[bs], rtx[bs], rty[bs]
+                    )
+    return center_in, vert_in, edge_hit, frac
+
+
+OUTSIDE = -1
+
+
+def classify_pairs(
+    grid: GridSpec,
+    polyset: PolygonSet,
+    pair_poly: np.ndarray,
+    gx: np.ndarray,
+    gy: np.ndarray,
+) -> np.ndarray:
+    """Kind per explicit (polygon, cell) pair on ``grid``: INTERIOR,
+    BOUNDARY, or OUTSIDE (-1, the pair contributes nothing). Identical
+    decision rule to :func:`classify_cells` (boundary = vertex-in-rect
+    or edge-crossing; interior = not boundary and center inside), just
+    over a caller-supplied pair list instead of MBR covers."""
+    if len(pair_poly) == 0:
+        return np.empty(0, np.int32)
+    center_in, vert_in, edge_hit, _ = _pair_geometry(
+        grid, polyset, pair_poly, gx, gy, with_frac=False
+    )
+    boundary = vert_in | edge_hit
+    kind = np.full(len(pair_poly), OUTSIDE, np.int32)
+    kind[boundary] = BOUNDARY
+    kind[~boundary & center_in] = INTERIOR
+    return kind
+
+
 def classify_cells(
     grid: GridSpec, polyset: PolygonSet, dtype=np.float64, with_frac: bool = True
 ) -> PolyGridTables:
@@ -496,59 +597,9 @@ def classify_cells(
     gx = stx[pair_poly] + t_loc % wx_pp
     gy = sty[pair_poly] + t_loc // wx_pp
     cells = gx + grid.nx * gy
-    lbx = grid.x0 + gx.astype(np.float64) * grid.cell_w
-    lby = grid.y0 + gy.astype(np.float64) * grid.cell_h
-    rtx = lbx + grid.cell_w
-    rty = lby + grid.cell_h
-    ccx = lbx + 0.5 * grid.cell_w
-    ccy = lby + 0.5 * grid.cell_h
-
-    vd = polyset.verts.astype(np.float64)
-    base = offs[pair_poly].astype(np.int64)
-    nv_pp = nv_per[pair_poly]
-
-    center_in = np.zeros(tot, dtype=bool)
-    vert_in = np.zeros(tot, dtype=bool)
-    edge_hit = np.zeros(tot, dtype=bool)
-    frac = np.zeros(tot, dtype=np.float64)
-
-    CHUNK = 1 << 18
-    for nv in np.unique(nv_pp):
-        nv = int(nv)
-        sel_all = np.flatnonzero(nv_pp == nv)
-        for s0 in range(0, len(sel_all), CHUNK):
-            sel = sel_all[s0 : s0 + CHUNK]
-            b = base[sel]
-            lx, ly, rx, ry = lbx[sel], lby[sel], rtx[sel], rty[sel]
-            cx, cy = ccx[sel], ccy[sel]
-            # center PIP (same per-edge expression as pip_mask)
-            c = np.zeros(len(sel), dtype=bool)
-            vin = np.zeros(len(sel), dtype=bool)
-            ehit = np.zeros(len(sel), dtype=bool)
-            j = nv - 1
-            for i in range(nv):
-                vix, viy = vd[b + i, 0], vd[b + i, 1]
-                vjx, vjy = vd[b + j, 0], vd[b + j, 1]
-                j = i
-                straddle = (viy > cy) != (vjy > cy)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    xcross = (vjx - vix) * (cy - viy) / (vjy - viy) + vix
-                c ^= straddle & (cx < xcross)
-                vin |= (vix >= lx) & (vix <= rx) & (viy >= ly) & (viy <= ry)
-                i2 = 0 if i == nv - 1 else i + 1
-                ehit |= _segments_intersect_rect(
-                    vix, viy, vd[b + i2, 0], vd[b + i2, 1], lx, ly, rx, ry
-                )
-            center_in[sel] = c
-            vert_in[sel] = vin
-            edge_hit[sel] = ehit
-            if with_frac:
-                bmask = vin | ehit
-                bs = sel[bmask]
-                if len(bs):
-                    frac[bs] = _clip_area_fraction_batch(
-                        vd, base[bs], nv, lbx[bs], lby[bs], rtx[bs], rty[bs]
-                    )
+    center_in, vert_in, edge_hit, frac = _pair_geometry(
+        grid, polyset, pair_poly, gx, gy, with_frac
+    )
 
     boundary = vert_in | edge_hit
     interior = ~boundary & center_in

@@ -51,6 +51,7 @@ from raster_join_spark.geo.classify import (
     INTERIOR,
     POLY_GRID_CACHE,
     PolyGridTables,
+    classify_pairs,
 )
 from raster_join_spark.geo.grid import GridSpec
 from raster_join_spark.geo.pip import pip_candidates
@@ -290,8 +291,11 @@ class SpatialJoin:
         )
 
     def _ck(self, name: str) -> str:
-        """Cache key for classification-grid-dependent artifacts."""
-        return f"{name}@r{self.refine_k}"
+        """Cache key for classification-grid-dependent artifacts —
+        suffixed with the refine level AND dtype (an f32 parity
+        instance classifies with different arithmetic, so its pair
+        tables must never serve an f64 twin on the same grid)."""
+        return f"{name}@r{self.refine_k}{np.dtype(self.dtype).char}"
 
     # ------------------------------------------------------------ helpers
 
@@ -522,7 +526,7 @@ class SpatialJoin:
             "id", "poly_id"
         )
         fill = F.lit(0) if agg.op == "count" else F.lit(None)
-        return all_polys.join(out, "poly_id", "left").select(
+        return all_polys.join(F.broadcast(out), "poly_id", "left").select(
             "poly_id", F.coalesce(F.col(agg.alias), fill).alias(agg.alias)
         )
 
@@ -751,32 +755,26 @@ class SpatialJoin:
         broadcast-join plan (same rows, useful for plan comparison and
         per-point outputs). All variants return identical results.
 
-        ``fused="auto"`` applies the measured decision rule (round-3 A/B,
-        BENCH/BASELINE.md): post Arrow-maxBytesPerBatch fix the one-pass
-        fused kernel beat split at EVERY boundary fraction tried on an
-        uncached input (100M rows, local[32]: 2.4s vs 4.8s at 26%
-        boundary, 2.3s vs 6.6s at 6%) because split's second input scan
-        costs more than feeding interior points to the Arrow kernel.
-        Split only wins when the re-scan is ~free — so auto picks split
-        iff the input is memory-cached AND the boundary fraction is low;
-        otherwise the fused kernel. The fraction is estimated from a 1%
-        sampled per-cell point histogram (cheap on the cached input the
-        rule requires anyway), so hot-boundary-cell skew can't fool the
-        pair-count estimate (round-4 verdict item 5).
+        ``fused="auto"`` applies the measured decision rule, re-derived
+        in round 7 (BENCH/split_ab.jsonl): for partial-aggregable ops
+        the HIERARCHICAL split is the plan — the boundary-only quadtree
+        refinement drops the Arrow-fed share to ~2% of points (1.97%
+        on the bench fixture vs 34.5% on its classification grid), and
+        with the r7 direct-probe interior (no per-cell partial agg)
+        split beat the fused kernel on UNCACHED input at the 1.6B-row
+        stratum (recorded best-of-3: 17.2s vs 20.8s, local[32]; the
+        round-3 rule's "split loses uncached" was an artifact of the
+        old groupBy(cell_id) interior and the flat k-refinement's giant
+        probe maps). The fused one-pass kernel remains for non-hier-
+        safe geometries (non-dyadic grids fall back inside _split_agg
+        to the single-level split, still exact) and as the explicit
+        ``fused=True`` plan.
 
         ``stats`` (optional dict) records the decision:
         {"plan": "fused"|"split"|..., "boundary_fraction": float|None}."""
         if fused == "auto":
             if agg.op in ("count", "sum", "avg"):
-                cached = bool(points.storageLevel.useMemory)
-                bfrac = None
-                if cached:
-                    bfrac = self._sampled_boundary_fraction(points)
-                    fused = "split" if bfrac < 0.15 else True
-                else:
-                    fused = True
-                if stats is not None:
-                    stats["boundary_fraction"] = bfrac
+                fused = "split"
             else:
                 # non-partial-aggregable op: the pair-materializing plan
                 # is the only executor — normalize so stats['plan']
@@ -815,6 +813,180 @@ class SpatialJoin:
             return self._fused_agg(points, agg, include_zero, coord_transfer)
         return self._finalize(self._exact_pairs(points), agg, include_zero)
 
+    # --------------------------- hierarchical boundary-only refinement
+    #
+    # The split plan's Arrow share is the point mass in BOUNDARY cells of
+    # the classification grid (34.5% of points on the bench fixture).
+    # Uniform k-refinement shrinks it but grows the interior probe map
+    # k^2-fold (a full k=64 cover of the fixture grid would be ~90M
+    # cells). The hierarchy refines ONLY the previous level's boundary
+    # (cell, poly) pairs — a quadtree-style adaptive split: map sizes
+    # grow with the polygon PERIMETER (O(P*k)) instead of the area
+    # (O(A*k^2)), so two x8 levels reach k=64-equivalent boundary
+    # thinness (1.97% of points on the bench fixture) with interior
+    # maps of 38k/317k pairs (fixture levels 228x96 -> 1824x768 ->
+    # 14592x6144).
+
+    HIER_FACTORS: tuple[int, ...] = (8, 8)
+    HIER_PAIR_BUDGET = 16_000_000  # stop refining past this pair count
+
+    def _hier_ok(self) -> bool:
+        """Exactness precondition for the hierarchical descent: the
+        chained left joins rely on cell NESTING — floor((v-o)/(w/f))
+        // f == floor((v-o)/w) for every data value v. With integral
+        microdegree coordinates (the engine's canonical space) and cell
+        sizes that stay exact quarter-integers at every level, both
+        floors are exact (an integer v is never within an ulp of a cell
+        edge: min real distance 0.25 vs relative ulp ~1e-16 * |v|), so
+        nesting holds mathematically. Non-dyadic grids fall back to the
+        single-level split — still exact, just a fatter Arrow share."""
+        if np.dtype(self.dtype) != np.float64:
+            return False  # f32 parity mode pins single-level decisions
+        if not (float(self.grid.x0).is_integer() and float(self.grid.y0).is_integer()):
+            return False
+        w, h = self.cls_grid.cell_w, self.cls_grid.cell_h
+        for f in self.HIER_FACTORS:
+            w, h = w / f, h / f
+            if not (float(w * 4).is_integer() and float(h * 4).is_integer()):
+                return False
+        return True
+
+    _HIER_CACHE: dict[tuple, list] = {}
+
+    def _hier_levels(self) -> list[tuple[GridSpec, np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+        """Per level: (grid, interior_cells, interior_polys,
+        boundary_cells, boundary_polys). Level 0 is the instance's
+        classification tables; level i+1 classifies the f x f children
+        of level i's boundary pairs only (geo/classify.classify_pairs).
+        Driver-side numpy, memoized per (collection, grid, factors)."""
+        key = (
+            self.polyset.cache_token,
+            self.grid,
+            self.refine_k,
+            self.HIER_FACTORS,
+        )
+        hit = self._HIER_CACHE.get(key)
+        if hit is not None:
+            return hit
+        t = self.cls_tables
+        int_c, int_p = t.interior_pairs()
+        b_c, b_p, _, _ = t.boundary_pairs()
+        levels = [(self.cls_grid, int_c, int_p, b_c, b_p)]
+        g = self.cls_grid
+        for f in self.HIER_FACTORS:
+            if len(b_c) == 0 or len(b_c) * f * f > self.HIER_PAIR_BUDGET:
+                break
+            gc = g.refined(f)
+            pgx = b_c % g.nx
+            pgy = b_c // g.nx
+            dx = np.tile(np.arange(f, dtype=np.int64), f)
+            dy = np.repeat(np.arange(f, dtype=np.int64), f)
+            cgx = (pgx[:, None] * f + dx[None, :]).ravel()
+            cgy = (pgy[:, None] * f + dy[None, :]).ravel()
+            cpoly = np.repeat(b_p, f * f)
+            kind = classify_pairs(gc, self.polyset, cpoly, cgx, cgy)
+            cells = cgx + gc.nx * cgy
+            mi = kind == INTERIOR
+            mb = kind == BOUNDARY
+            levels.append((gc, cells[mi], cpoly[mi], cells[mb], cpoly[mb]))
+            g, b_c, b_p = gc, cells[mb], cpoly[mb]
+        if len(self._HIER_CACHE) > 16:
+            self._HIER_CACHE.clear()
+        self._HIER_CACHE[key] = levels
+        return levels
+
+    def _hier_join_maps(self) -> list[tuple[GridSpec, DataFrame]]:
+        """The interior chain's probe maps, one BROADCAST join per map.
+
+        Levels collapse to len(levels)-1 joins (measured ~2.2s/probe on
+        1.6B rows at local[32] — one fewer join pays for a modestly
+        bigger first map): level 0's interior pairs EXPAND to their
+        level-1 children and merge into level 1's map, so the first
+        probe keys on the level-1 grid. Map rows are (cell_id, poly_id)
+        with poly_id = -1 MARKER rows ('descend to the next level') for
+        the level's distinct boundary cells; the deepest map carries no
+        markers — unresolved rows are the boundary sink's job
+        (_split_agg routes them by an independent deep-cell semi-join).
+        Single-level instances get one marker-free interior map on the
+        classification grid."""
+        levels = self._hier_levels() if self._hier_ok() else None
+        if levels is None or len(levels) == 1:
+            t = self.cls_tables
+            ic, ip = t.interior_pairs()
+            return [
+                (
+                    self.cls_grid,
+                    self._pairs_df(ic, ip, cache_key=self._ck("hierm0-flat")),
+                )
+            ]
+        out: list[tuple[GridSpec, DataFrame]] = []
+        for j in range(1, len(levels)):
+            g, ic, ip, bc, _ = levels[j]
+            cells = [ic]
+            polys = [ip]
+            if j == 1:
+                # level-0 interior pairs, expanded to level-1 children
+                f = self.HIER_FACTORS[0]
+                g0, i0c, i0p, _, _ = levels[0]
+                dx = np.tile(np.arange(f, dtype=np.int64), f)
+                dy = np.repeat(np.arange(f, dtype=np.int64), f)
+                cgx = ((i0c % g0.nx)[:, None] * f + dx[None, :]).ravel()
+                cgy = ((i0c // g0.nx)[:, None] * f + dy[None, :]).ravel()
+                cells.append(cgx + g.nx * cgy)
+                polys.append(np.repeat(i0p, f * f))
+            if j < len(levels) - 1:
+                mark = np.unique(bc)
+                cells.append(mark)
+                polys.append(np.full(len(mark), -1, np.int64))
+            out.append(
+                (
+                    g,
+                    self._pairs_df(
+                        np.concatenate(cells),
+                        np.concatenate(polys),
+                        cache_key=self._ck(f"hierm{j}|{self.HIER_FACTORS}"),
+                    ),
+                )
+            )
+        return out
+
+    def _bc_art_hier(self, levels) -> object:
+        """Broadcast kernel artifact for the hierarchical split's Arrow
+        stage: the DEEPEST level's boundary-pair CSR (sparse-keyed; deep
+        grids exceed the dense-index bound) — exactly the pairs the JVM
+        chain could not resolve, so kernel PIP neither double-counts a
+        JVM-resolved (point, poly) nor misses an unresolved one."""
+        key = (
+            id(self.spark),
+            self.polyset.cache_token,
+            self.grid,
+            np.dtype(self.dtype).char,
+            self.refine_k,
+            "hier",
+            self.HIER_FACTORS,
+        )
+        bc = self._BC_CACHE.pop(key, None)
+        if bc is not None:
+            self._BC_CACHE[key] = bc
+            return bc
+        deep_grid, _, _, b_c, b_p = levels[-1]
+        bc = self.spark.sparkContext.broadcast(
+            {
+                "interior": None,
+                "boundary": _cell_csr(b_c, b_p, deep_grid.n_cells),
+                "verts": self.polyset.verts,
+                "offsets": self.polyset.offsets,
+            }
+        )
+        while len(self._BC_CACHE) >= self._BC_CACHE_MAX:
+            old = self._BC_CACHE.pop(next(iter(self._BC_CACHE)))
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass
+        self._BC_CACHE[key] = bc
+        return bc
+
     def _split_agg(
         self,
         points: DataFrame,
@@ -822,41 +994,102 @@ class SpatialJoin:
         include_zero: bool,
         coord_transfer: str | None = None,
     ) -> DataFrame:
-        """Split one-pass plan — minimum Arrow traffic for exact results.
+        """Split plan — minimum Arrow traffic for exact results.
 
-        Interior-cell contributions never touch Python: per-cell partial
-        aggregates (pure JVM, map-side combined) broadcast-join the
-        interior (cell, poly) table and re-aggregate — the raster plan's
-        machinery with EXACT semantics, because an interior cell's points
-        all belong to the polygon by construction. Only points whose
-        cell borders some polygon (a broadcast LEFT SEMI join against
-        the distinct boundary-cell table) cross the Arrow boundary for
-        the PIP kernel. At web scale boundary cells hold a small
-        fraction of points, so the python stage — the per-row-priciest
-        link (BENCH/hybrid_rootcause.md) — shrinks by that factor, and
-        the whole plan scales like the pure-JVM raster join.
+        Interior-cell contributions never touch Python: each point
+        probes a chain of broadcast (cell, poly) hashmaps — level 0 the
+        classification grid, each further level the boundary-only x8
+        refinement of the previous one (see HIER_FACTORS notes above) —
+        and feeds a P-key map-side-combined groupBy. EXACT semantics,
+        because an interior cell's points all belong to the polygon by
+        construction. Only points still unresolved after the deepest
+        level (in cells the quadtree could not classify either way,
+        ~2% of points on the bench fixture vs 67% single-level) cross
+        the Arrow boundary for the PIP kernel, against exactly the
+        unresolved (cell, poly) pairs. The python stage — the
+        per-row-priciest link (BENCH/hybrid_rootcause.md) — shrinks by
+        that factor, and the whole plan scales like the pure-JVM
+        raster join.
+
+        r7 rework (recorded A/B: BENCH/split_ab.jsonl): r3-r6
+        pre-aggregated per CELL (groupBy(cell_id) partials, the raster
+        plan's shape) before the interior join. Fine on the base grid
+        (22k cells), but on a k-refined classification grid the
+        per-task hash agg keys on MILLIONS of cells and dominated the
+        stage — the reason the r3-r6 auto rule kept the fused kernel
+        on uncached input. Direct per-row probes into small broadcast
+        hashmaps + a P-key agg are cardinality-independent: whole-stage
+        codegen, no shuffle wider than P rows per task.
         """
-        t = self.cls_tables
-        int_c, int_p = t.interior_pairs()
-        b_c, _, _, _ = t.boundary_pairs()
-        interior = self._pairs_df(int_c, int_p, cache_key=self._ck("interior"))
-        bcells = self._cells_df(b_c, cache_key=self._ck("bcells"))
+        hier = self._hier_ok()
+        levels = self._hier_levels() if hier else None
 
-        # partials + membership both key on the classification grid (the
-        # refined grid when active) — exactness is grid-independent here
-        cells_partial = self._cell_partials(points, agg, grid=self.cls_grid)
-        jvm_part = (
-            cells_partial.join(F.broadcast(interior), "cell_id", "inner")
-            .groupBy("poly_id")
-            .agg(F.sum("_cnt").alias("_cnt"), F.sum("_sum").alias("_sum"))
+        # chained LEFT joins (_hier_join_maps): key_i is the level-i
+        # cell id WHEN the row is still descending (marker match at
+        # level i-1), else NULL (null keys never match — a resolved row
+        # passes the remaining joins untouched, so each (point, poly)
+        # contribution appears exactly once)
+        chained = points
+        poly_cols: list[Column] = []
+        descending: Column | None = None
+        for i, (g, mdf) in enumerate(self._hier_join_maps()):
+            m = mdf.select(
+                F.col("cell_id").alias(f"_hc{i}"), F.col("poly_id").alias(f"_hp{i}")
+            )
+            cell = g.cell_id_col(F.col(self.x), F.col(self.y))
+            key = cell if descending is None else F.when(descending, cell)
+            chained = chained.join(F.broadcast(m), key == F.col(f"_hc{i}"), "left")
+            poly_cols.append(F.when(F.col(f"_hp{i}") >= 0, F.col(f"_hp{i}")))
+            descending = F.col(f"_hp{i}") == -1
+
+        sum_col = (
+            F.sum(F.col(agg.col)).alias("_sum")
+            if agg.col
+            else F.lit(None).cast("double").alias("_sum")
         )
-        bpts = points.withColumn(
-            "cell_id", self.cls_grid.cell_id_col(F.col(self.x), F.col(self.y))
-        ).filter(F.col("cell_id").isNotNull()).join(
-            F.broadcast(bcells), "cell_id", "left_semi"
+        jvm_part = (
+            chained.withColumn("poly_id", F.coalesce(*poly_cols))
+            .filter(F.col("poly_id").isNotNull())
+            .groupBy("poly_id")
+            .agg(F.count(F.lit(1)).alias("_cnt"), sum_col)
+        )
+        # Boundary sink: a SINGLE probe on the DEEPEST grid's cell id
+        # against the deep boundary-cell set — no chain needed, because
+        # nesting makes descent implicit: a deep cell is in the set iff
+        # its whole ancestry stayed boundary, so membership alone
+        # selects exactly the rows the chain would have routed down.
+        # (A one-scan variant that rode the boundary rows through the
+        # interior aggregation as bucketed collect_list payloads was
+        # measured SLOWER at the 1.6B stratum: ObjectHashAggregate
+        # breaks whole-stage codegen, charging interpreted per-row cost
+        # on the FULL input, not just the 2% boundary. At rest, the second
+        # scan prunes to boundary-cell tiles when the source is a
+        # TileStore layout; on a raw table it is one extra column-
+        # pruned parquet pass.)
+        if hier and len(levels) > 1:
+            deep_grid, deep_bcells = levels[-1][0], levels[-1][3]
+            art_bc, grid_override = self._bc_art_hier(levels), levels[-1][0]
+        else:
+            deep_grid = self.cls_grid
+            deep_bcells = self.cls_tables.boundary_pairs()[0]
+            art_bc = grid_override = None
+        bcells = self._cells_df(
+            deep_bcells, cache_key=self._ck(f"hierbcells|{self.HIER_FACTORS}")
+        )
+        bpts = (
+            points.withColumn(
+                "cell_id", deep_grid.cell_id_col(F.col(self.x), F.col(self.y))
+            )
+            .filter(F.col("cell_id").isNotNull())
+            .join(F.broadcast(bcells), "cell_id", "left_semi")
         )
         py_part = self._arrow_partials(
-            bpts, agg, use_interior=False, coord_transfer=coord_transfer
+            bpts,
+            agg,
+            use_interior=False,
+            coord_transfer=coord_transfer,
+            art_bc=art_bc,
+            grid_override=grid_override,
         )
         partials = jvm_part.unionByName(py_part)
         out = partials.groupBy("poly_id").agg(*agg.exprs())
@@ -866,7 +1099,7 @@ class SpatialJoin:
             "id", "poly_id"
         )
         fill = F.lit(0) if agg.op == "count" else F.lit(None)
-        return all_polys.join(out, "poly_id", "left").select(
+        return all_polys.join(F.broadcast(out), "poly_id", "left").select(
             "poly_id", F.coalesce(F.col(agg.alias), fill).alias(agg.alias)
         )
 
@@ -908,7 +1141,7 @@ class SpatialJoin:
             return out
         all_polys = self.spark.range(n_polys).withColumnRenamed("id", "poly_id")
         fill = F.lit(0) if agg.op == "count" else F.lit(None)
-        return all_polys.join(out, "poly_id", "left").select(
+        return all_polys.join(F.broadcast(out), "poly_id", "left").select(
             "poly_id", F.coalesce(F.col(agg.alias), fill).alias(agg.alias)
         )
 
@@ -918,18 +1151,22 @@ class SpatialJoin:
         agg: AggSpec,
         use_interior: bool,
         coord_transfer: str | None = None,
+        art_bc=None,
+        grid_override: GridSpec | None = None,
     ) -> DataFrame:
         """The Arrow-batched partial-vector kernel stage: (poly_id, _cnt,
         _sum) rows, <= n_polys per input batch. ``use_interior=False``
         is the split plan's boundary-only variant (the caller already
         resolved interior cells JVM-side). Membership resolves on the
-        internal classification grid (refine_k)."""
+        internal classification grid (refine_k) unless the caller ships
+        its own artifact + grid (``art_bc``/``grid_override``: the
+        hierarchical split's deepest-level boundary CSR)."""
         # the shared memoized artifact always carries the interior CSR;
         # the split plan's boundary-only variant just ignores it (the
         # shared broadcast amortizes across plans, which beats shipping
         # a second, slightly smaller artifact)
-        bc = self._bc_art()
-        grid = self.cls_grid
+        bc = art_bc if art_bc is not None else self._bc_art()
+        grid = grid_override if grid_override is not None else self.cls_grid
         dtype = self.dtype
         n_polys = self.polyset.n_polys
         x_name, y_name = self.x, self.y
@@ -1098,7 +1335,7 @@ class SpatialJoin:
             "id", "poly_id"
         )
         fill = F.lit(0) if agg.op == "count" else F.lit(None)
-        return all_polys.join(out, "poly_id", "left").select(
+        return all_polys.join(F.broadcast(out), "poly_id", "left").select(
             "poly_id", F.coalesce(F.col(agg.alias), fill).alias(agg.alias)
         )
 

@@ -56,6 +56,16 @@ def get_spark(
         # by payload budget (operators/multimodal.py), so no batch can
         # still blow past executor memory.
         .config("spark.sql.execution.arrow.maxBytesPerBatch", "2147483647b")
+        # The knn operators reduce per-query top-k in-plan via
+        # map-side-combined collect_list aggregations (operators/knn.py)
+        # whose group key is the query id — thousands of distinct keys
+        # per task. ObjectHashAggregate's sort-based fallback triggers
+        # at just 128 distinct keys, replacing the hash agg with a
+        # per-task SORT of every (query, candidate) row; raise the
+        # threshold so the partial lists stay hash-aggregated. Memory
+        # stays bounded: the operators cap per-query candidates before
+        # the agg (annulus literal cap; <=2048-point salted slices).
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -259,30 +259,23 @@ def test_fused_sum_exact_above_2pow53(spark, polyset, grid):
 
 
 def test_fused_auto_selection(spark, points_df, polyset, random_points):
-    """fused='auto': one-pass fused kernel on uncached input (split's
-    second scan loses, measured round 3); split only for a memory-cached
-    input with a low boundary fraction. Results identical either way."""
+    """fused='auto' (r7 rule): the hierarchical split for every
+    partial-aggregable op — its plan shows the boundary deep semi-join
+    (LeftSemi) feeding MapInArrow plus the chained interior broadcast
+    probes, and NO SortMergeJoin. Results identical to the fused
+    kernel."""
     fine = GridSpec(0.0, 0.0, 5.0, 5.0, 200, 200)
     sj = SpatialJoin(spark, polyset, fine)
-    assert sj.tables.boundary_fraction() < 0.15  # fine grid: mostly interior
 
-    plan_uncached = (
-        sj.hybrid_join(points_df, fused="auto")
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "MapInArrow" in plan_uncached and "LeftSemi" not in plan_uncached
-
-    cached = points_df.persist()
-    try:
-        cached.count()
-        got = sj.hybrid_join(cached, fused="auto")
-        plan_cached = got._jdf.queryExecution().executedPlan().toString()
-        assert "LeftSemi" in plan_cached  # the split plan's boundary semi-join
-        a = got.orderBy("poly_id").toPandas()
-        b = sj.hybrid_join(points_df).orderBy("poly_id").toPandas()
-        assert a["agg"].tolist() == b["agg"].tolist()
-    finally:
-        cached.unpersist()
+    stats: dict = {}
+    got = sj.hybrid_join(points_df, fused="auto", stats=stats)
+    assert stats["plan"] == "split"
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    a = got.orderBy("poly_id").toPandas()
+    b = sj.hybrid_join(points_df).orderBy("poly_id").toPandas()
+    assert a["agg"].tolist() == b["agg"].tolist()
 
 
 def test_rect_polyset_pip_equals_closed_form():
@@ -472,9 +465,12 @@ def test_refinement_auto_and_equivalence(spark):
 def test_sampled_boundary_fraction_detects_skew(spark, polyset):
     """Round-4 verdict item 5: the pure pair-count boundary estimate is
     blind to WHERE the points are. A hot box parked on a polygon
-    boundary keeps the pair-count ratio < 0.15 (split's trigger) while
-    most points actually need PIP — the sampled point-weighted estimate
-    must see that and keep the fused plan."""
+    boundary keeps the pair-count ratio < 0.15 while most points
+    actually need PIP — the sampled point-weighted estimate must see
+    that. (Since the r7 auto rule the estimator no longer gates plan
+    selection — split wins at every measured fraction — but it remains
+    the diagnostic that exposed the r6 rule's blind spot and feeds the
+    A/B tooling, so its skew sensitivity stays pinned.)"""
     fine = GridSpec(0.0, 0.0, 5.0, 5.0, 200, 200)
     sj = SpatialJoin(spark, polyset, fine)
     assert sj.tables.boundary_fraction() < 0.15
@@ -493,12 +489,6 @@ def test_sampled_boundary_fraction_detects_skew(spark, polyset):
         cached.count()
         bfrac = sj._sampled_boundary_fraction(cached)
         assert bfrac >= 0.15  # skew detected where pair counts said < 0.15
-        stats: dict = {}
-        got = sj.hybrid_join(cached, fused="auto", stats=stats)
-        assert stats["plan"] == "fused"
-        assert stats["boundary_fraction"] == pytest.approx(bfrac)
-        plan = got._jdf.queryExecution().executedPlan().toString()
-        assert "LeftSemi" not in plan  # not the split plan
     finally:
         cached.unpersist()
 
