@@ -583,7 +583,16 @@ def knn_join_bulk(
     """
     if stats is None:
         stats = {}
-    stats.update({"rounds": 0, "exhaustive": False})
+    import time as _time
+
+    # per-phase wall timings (driver-action boundaries) — the evidence
+    # stream for the cold-sample attribution in BENCH/knn_bulk_cold.md:
+    # setup_sec covers the source-projection persist build; occupancy_sec
+    # the per-cell counts + refinement decision; round_sec each probe
+    # round's single action; finalize_sec the result materialization.
+    phase: dict = {"round_sec": []}
+    stats.update({"rounds": 0, "exhaustive": False, "phase_sec": phase})
+    _t0 = _time.perf_counter()
     # AQE's partition coalescing merges shuffle partitions by BYTE size;
     # the cogroup kernel's cost is CPU per row, not bytes, so the tiny
     # probe/point shuffles (a few MB) collapse into ONE task and the
@@ -619,6 +628,8 @@ def knn_join_bulk(
         pts = _assign(grid)
         if n_total is None:
             n_total = pts_base.count()
+        phase["setup_sec"] = round(_time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
         import math as _math
 
         counts = None
@@ -707,6 +718,7 @@ def knn_join_bulk(
             )
         else:
             pending = pending.withColumn("r", F.lit(min(4, r_cap)))
+        phase["occupancy_sec"] = round(_time.perf_counter() - _t0, 3)
         # round 1's plan references pending three times (probe disk,
         # probed-cell distinct for the point prune, certification join);
         # caching the O(|queries|) frame computes the counts-join subtree
@@ -743,6 +755,7 @@ def knn_join_bulk(
         kept: list[DataFrame] = []
         min_r_pending = 0
         while True:
+            _t0 = _time.perf_counter()
             stats["rounds"] += 1
             # all-capped pending queries can never certify (their disk, and
             # with it their top-k, can no longer grow) — re-probing is waste
@@ -755,6 +768,7 @@ def knn_join_bulk(
                     F.broadcast(pending.select("q_id", "qx", "qy"))
                 ).select("q_id", F.col(id_col), dist2_col)
                 results.append(_explode(_topk(cand)))
+                phase["round_sec"].append(round(_time.perf_counter() - _t0, 3))
                 break
             offs = F.sequence(-F.col("r"), F.col("r"))
             disk = (
@@ -836,8 +850,10 @@ def knn_join_bulk(
             pending = nxt.withColumn(
                 "r", F.least(F.col("r") * 4 + 3, F.lit(int(r_cap)))
             )
+            phase["round_sec"].append(round(_time.perf_counter() - _t0, 3))
             if n_pending == 0:
                 break
+        _t0 = _time.perf_counter()
         out = results[0]
         for df in results[1:]:
             out = out.unionByName(df)
@@ -852,6 +868,7 @@ def knn_join_bulk(
         if counts is not None:
             counts.unpersist(False)
         pts_base.unpersist(False)
+        phase["finalize_sec"] = round(_time.perf_counter() - _t0, 3)
         return out
     finally:
         spark.conf.set(_coalesce_key, _coalesce_prev)
