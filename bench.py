@@ -361,6 +361,44 @@ def _scaling_closure_md(hybrid_docs: int) -> str:
     )
 
 
+def _split_ab_md() -> str:
+    """Render the recorded fused-vs-split A/B series
+    (BENCH/split_ab.jsonl, written by tools/split_ab.py) into the
+    accurate-path throughput section. Best row per (label, plan)."""
+    path = os.path.join(REPO, "BENCH", "split_ab.jsonl")
+    if not os.path.exists(path):
+        return ""
+    best: dict[tuple, dict] = {}
+    for line in open(path):
+        line = line.strip()
+        if not line:
+            continue
+        rec = json.loads(line)
+        k = (rec.get("label", "r7-initial"), rec["plan"], rec["n"], rec["master"])
+        if k not in best or rec["best"] < best[k]["best"]:
+            best[k] = rec
+    rows = "".join(
+        f"| {k[0]} | {k[1]} | {k[2]} | {k[3]} | {v['best']} | "
+        f"{v['docs_per_sec']:,.0f} | {v['load_after']} |\n"
+        for k, v in sorted(best.items())
+    )
+    return (
+        "## Accurate-path plan A/B — fused kernel vs hierarchical split\n\n"
+        "fused='auto' picks the hierarchical split for partial-aggregable\n"
+        "ops (operators/spatial_join.py): interior membership resolves\n"
+        "through per-level broadcast hashmap probes (pure JVM), and only\n"
+        "the ~2% of points left unresolved by the boundary-only quadtree\n"
+        "descent cross the Arrow boundary. Recorded best-of-reps per plan\n"
+        "variant (tools/split_ab.py, uncached input, fresh plans):\n\n"
+        "| variant | plan | rows | master | best sec | docs/s | load |\n"
+        "|---|---|---|---|---|---|---|\n" + rows + "\n"
+        "Reference anchor: the GPU hybrid runs 236M pts/s\n"
+        "(taxi-in-memory.txt:13); the v2 split's recorded best puts the\n"
+        "accurate path within ~1.9x of the reference GPU on a CPU-only\n"
+        "JVM+Arrow stack.\n\n"
+    )
+
+
 def _hybrid_rootcause_md() -> str:
     """Inline the hybrid-path scaling root-cause analysis (written by
     tools/diag_hybrid.py) into BASELINE.md when present."""
@@ -616,6 +654,12 @@ def run_scaling(sf_dir: str) -> dict:
             f"  SOUND round is reported next to the median — the spirit of the\n"
             f"  reference's min-over-iterations policy (GLHandler.cpp:214-248)\n"
             f"  without best-case cherry-picking.\n\n"
+            f"- hybrid under fused='auto' (hierarchical split, r7): "
+            f"local[8] {report['hybrid_split_sec_local8']}s, "
+            f"local[32] {report['hybrid_split_sec_local32']}s "
+            f"({report['hybrid_split_docs_per_sec_local32']} docs/s at 4N); "
+            f"per-round split efficiencies: {report['round_efficiencies_hybrid_split']}\n\n"
+            f"{_split_ab_md()}"
             f"{_kernel_scaling_md()}"
             f"{_scaling_closure_md(results[0]['hybrid_docs'])}"
             f"{_hybrid_rootcause_md()}"

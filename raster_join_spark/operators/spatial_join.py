@@ -896,19 +896,25 @@ class SpatialJoin:
         return levels
 
     def _hier_join_maps(self) -> list[tuple[GridSpec, DataFrame]]:
-        """The interior chain's probe maps, one BROADCAST join per map.
+        """The interior chain's probe maps, one BROADCAST join per map,
+        ONE map per level — smallest map first.
 
-        Levels collapse to len(levels)-1 joins (measured ~2.2s/probe on
-        1.6B rows at local[32] — one fewer join pays for a modestly
-        bigger first map): level 0's interior pairs EXPAND to their
-        level-1 children and merge into level 1's map, so the first
-        probe keys on the level-1 grid. Map rows are (cell_id, poly_id)
-        with poly_id = -1 MARKER rows ('descend to the next level') for
-        the level's distinct boundary cells; the deepest map carries no
-        markers — unresolved rows are the boundary sink's job
-        (_split_agg routes them by an independent deep-cell semi-join).
-        Single-level instances get one marker-free interior map on the
-        classification grid."""
+        Per-row probe cost is dominated by the probe map's cache
+        residency, not the join count: the level-0 map is tiny (5.3k
+        entries on the bench fixture — L1/L2-cache resident) and
+        resolves the ~65% of rows in level-0 interior cells outright,
+        so only descending rows ever touch the bigger deep maps. An
+        alternative that MERGED level 0's interior pairs (expanded x64)
+        into level 1's map to save one join was measured ~1.7x slower
+        at the 1.6B stratum (11.5s vs 6.9s interior chain,
+        BENCH/split_ab.jsonl variant rows): every row paid a 298k-entry
+        probe where most needed only the tiny one. Map rows are
+        (cell_id, poly_id) with poly_id = -1 MARKER rows ('descend to
+        the next level') for the level's distinct boundary cells; the
+        deepest map carries no markers — unresolved rows are the
+        boundary sink's job (_split_agg routes them by the staged
+        boundary semi-joins). Single-level instances get one
+        marker-free interior map on the classification grid."""
         levels = self._hier_levels() if self._hier_ok() else None
         if levels is None or len(levels) == 1:
             t = self.cls_tables
@@ -920,20 +926,9 @@ class SpatialJoin:
                 )
             ]
         out: list[tuple[GridSpec, DataFrame]] = []
-        for j in range(1, len(levels)):
-            g, ic, ip, bc, _ = levels[j]
+        for j, (g, ic, ip, bc, _) in enumerate(levels):
             cells = [ic]
             polys = [ip]
-            if j == 1:
-                # level-0 interior pairs, expanded to level-1 children
-                f = self.HIER_FACTORS[0]
-                g0, i0c, i0p, _, _ = levels[0]
-                dx = np.tile(np.arange(f, dtype=np.int64), f)
-                dy = np.repeat(np.arange(f, dtype=np.int64), f)
-                cgx = ((i0c % g0.nx)[:, None] * f + dx[None, :]).ravel()
-                cgy = ((i0c // g0.nx)[:, None] * f + dy[None, :]).ravel()
-                cells.append(cgx + g.nx * cgy)
-                polys.append(np.repeat(i0p, f * f))
             if j < len(levels) - 1:
                 mark = np.unique(bc)
                 cells.append(mark)
@@ -944,7 +939,7 @@ class SpatialJoin:
                     self._pairs_df(
                         np.concatenate(cells),
                         np.concatenate(polys),
-                        cache_key=self._ck(f"hierm{j}|{self.HIER_FACTORS}"),
+                        cache_key=self._ck(f"hierm{j}v2|{self.HIER_FACTORS}"),
                     ),
                 )
             )
@@ -1053,11 +1048,20 @@ class SpatialJoin:
             .groupBy("poly_id")
             .agg(F.count(F.lit(1)).alias("_cnt"), sum_col)
         )
-        # Boundary sink: a SINGLE probe on the DEEPEST grid's cell id
-        # against the deep boundary-cell set — no chain needed, because
-        # nesting makes descent implicit: a deep cell is in the set iff
-        # its whole ancestry stayed boundary, so membership alone
-        # selects exactly the rows the chain would have routed down.
+        # Boundary sink: membership probes on the boundary-cell sets —
+        # no marker chain needed, because nesting makes descent
+        # implicit: a deep cell is in the deep set iff its whole
+        # ancestry stayed boundary, so membership alone selects exactly
+        # the rows the chain would have routed down. The probe is
+        # STAGED (penultimate level's boundary set first, then the
+        # deepest): the mid set is an order of magnitude smaller —
+        # cache-resident — and its semi-join discards ~88% of rows
+        # before they ever touch the big deep set, which cut the
+        # boundary leg 8.3s -> 6.8s at the 1.6B stratum
+        # (BENCH/split_ab.jsonl variant rows). Subset precondition
+        # (deep boundary cells lie under mid boundary cells) holds by
+        # construction — each level refines only the previous level's
+        # boundary pairs — and is pinned by a unit test.
         # (A one-scan variant that rode the boundary rows through the
         # interior aggregation as bucketed collect_list payloads was
         # measured SLOWER at the 1.6B stratum: ObjectHashAggregate
@@ -1066,9 +1070,20 @@ class SpatialJoin:
         # scan prunes to boundary-cell tiles when the source is a
         # TileStore layout; on a raw table it is one extra column-
         # pruned parquet pass.)
+        bpts = points
         if hier and len(levels) > 1:
             deep_grid, deep_bcells = levels[-1][0], levels[-1][3]
             art_bc, grid_override = self._bc_art_hier(levels), levels[-1][0]
+            mid_grid, mid_bcells = levels[-2][0], levels[-2][3]
+            mcells = self._cells_df(
+                mid_bcells, cache_key=self._ck(f"hiermidb|{self.HIER_FACTORS}")
+            )
+            bpts = bpts.join(
+                F.broadcast(mcells.select(F.col("cell_id").alias("_midbc"))),
+                mid_grid.cell_id_col(F.col(self.x), F.col(self.y))
+                == F.col("_midbc"),
+                "left_semi",
+            )
         else:
             deep_grid = self.cls_grid
             deep_bcells = self.cls_tables.boundary_pairs()[0]
@@ -1077,7 +1092,7 @@ class SpatialJoin:
             deep_bcells, cache_key=self._ck(f"hierbcells|{self.HIER_FACTORS}")
         )
         bpts = (
-            points.withColumn(
+            bpts.withColumn(
                 "cell_id", deep_grid.cell_id_col(F.col(self.x), F.col(self.y))
             )
             .filter(F.col("cell_id").isNotNull())

@@ -278,6 +278,63 @@ def test_fused_auto_selection(spark, points_df, polyset, random_points):
     assert a["agg"].tolist() == b["agg"].tolist()
 
 
+@pytest.fixture(scope="module")
+def dyadic_grid():
+    """Integral origin + cell sizes that stay quarter-integers through
+    two x8 refinements (64 -> 8 -> 1) — the hierarchical split's
+    exactness precondition, unlike the cell-25 `grid` fixture."""
+    return GridSpec(0.0, 0.0, 64.0, 64.0, 16, 16)
+
+
+def test_hier_levels_engage_and_nest(spark, polyset, dyadic_grid):
+    """Hierarchy structure invariants on a dyadic grid: the descent
+    engages (>1 level), each level's pair tables live on the refined
+    grid, and every deeper boundary/interior pair sits under a
+    PREVIOUS-level boundary cell (the nesting that makes the staged
+    boundary semi-joins and the marker chain exact)."""
+    sj = SpatialJoin(spark, polyset, dyadic_grid)
+    assert sj._hier_ok()
+    levels = sj._hier_levels()
+    assert len(levels) > 1
+    for j in range(1, len(levels)):
+        gp, _, _, bc_prev, _ = levels[j - 1]
+        g, ic, ip, bc, bp = levels[j]
+        f = SpatialJoin.HIER_FACTORS[j - 1]
+        assert g.nx == gp.nx * f and g.ny == gp.ny * f
+        prev_b = set(np.unique(bc_prev).tolist())
+        for cells in (ic, bc):
+            gx, gy = cells % g.nx, cells // g.nx
+            parents = (gx // f) + gp.nx * (gy // f)
+            assert set(np.unique(parents).tolist()) <= prev_b
+    # one probe map per level, markers on all but the deepest
+    maps = sj._hier_join_maps()
+    assert len(maps) == len(levels)
+    for j, (g, mdf) in enumerate(maps):
+        has_marker = mdf.filter(F.col("poly_id") == -1).count() > 0
+        assert has_marker == (j < len(maps) - 1)
+
+
+def test_hier_split_matches_brute_force(spark, points_df, polyset,
+                                        dyadic_grid, random_points):
+    """End-to-end exactness of the multi-level split (chained probes +
+    staged boundary semi-joins + deep-CSR Arrow kernel) against the
+    numpy brute force, for count and sum."""
+    x, y, val = random_points
+    cnt, sums = brute_counts(x, y, polyset, val)
+    sj = SpatialJoin(spark, polyset, dyadic_grid)
+    assert len(sj._hier_levels()) > 1
+    got_cnt = (
+        sj.hybrid_join(points_df, fused="split")
+        .orderBy("poly_id").toPandas()["agg"].to_numpy()
+    )
+    assert got_cnt.tolist() == cnt.tolist()
+    got_sum = (
+        sj.hybrid_join(points_df, agg=AggSpec("sum", "val"), fused="split")
+        .orderBy("poly_id").toPandas()["agg"].fillna(0).to_numpy()
+    )
+    assert got_sum.astype(np.int64).tolist() == sums.tolist()
+
+
 def test_rect_polyset_pip_equals_closed_form():
     """The 4096-rect gate fixture's load-bearing property: with every
     bound an exact (integer + 0.5) float64, ray-cast PIP over the rect

@@ -9,7 +9,10 @@ This is the evidence file the spatial_join docstrings cite for the
 fused='auto' -> split decision. Input is UNCACHED synthetic points
 (fresh plan per rep, CLAUDE.md bench rules). Usage:
 
-  python tools/split_ab.py [N] [master] [reps]
+  python tools/split_ab.py [N] [master] [reps] [label]
+
+``label`` tags the rows (e.g. the plan variant under test) so the
+series stays self-describing as the operator evolves.
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_600_000_000
     master = sys.argv[2] if len(sys.argv) > 2 else "local[32]"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    label = sys.argv[4] if len(sys.argv) > 4 else None
 
     from raster_join_spark.fixtures import COARSE_GRID, ORACLE_POLYS
     from raster_join_spark.operators.spatial_join import SpatialJoin
@@ -65,6 +69,8 @@ def main() -> None:
             "docs_per_sec": round(n / min(secs), 1),
             "load_after": load,
         }
+        if label:
+            rec["label"] = label
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
