@@ -48,6 +48,10 @@ def run_suite(master: str, sf_dir: str) -> dict:
     qs = e.queries()
     headline = [
         "spatial_hybrid_count",
+        # r7: the same accurate aggregation under fused='auto' (the
+        # hierarchical split plan) — recorded alongside the fused series
+        # so both physical plans stay visible in the round record
+        "spatial_split_count",
         "spatial_index_count",
         "spatial_raster_count",
         "spatial_error_bounds",
@@ -147,11 +151,17 @@ def run_suite(master: str, sf_dir: str) -> dict:
         "cold_spatial_hybrid_count": cold_hybrid,
         "knn_bulk_sec": timings.get("knn_bulk"),
         "knn_bulk_samples": knn_bulk_samples,
-        # r1-r5 totals excluded knn_bulk; `value_legacy` is the
-        # ex-knn_bulk total, directly comparable to those rounds'
-        # `value` (r6 verdict item 7 — emitted so the series stays
-        # machine-comparable; drop in r8)
-        "value_legacy": round(total - timings.get("knn_bulk", 0.0), 3),
+        # r1-r5 totals excluded knn_bulk; r1-r6 totals excluded
+        # spatial_split_count (new in r7). `value_legacy` is the total
+        # minus both, directly comparable to the r1-r5 `value` series
+        # (r6 verdict item 7 — emitted so the series stays
+        # machine-comparable)
+        "value_legacy": round(
+            total
+            - timings.get("knn_bulk", 0.0)
+            - timings.get("spatial_split_count", 0.0),
+            3,
+        ),
         # sampling policy disclosure (ADVICE r6): knn_bulk ALONE enters
         # the total as min-over-SPARK_GRAFT_KNNB_SAMPLES fresh-plan
         # samples (it is the one query whose wall time swings 2-3x on
@@ -159,7 +169,10 @@ def run_suite(master: str, sf_dir: str) -> dict:
         "value_includes": [
             "knn_bulk (best of samples — min-over-samples applies to "
             "knn_bulk ONLY, all other queries are single warmed shots; "
-            "was value_excludes through r5)"
+            "was value_excludes through r5)",
+            "spatial_split_count (new in r7: the accurate aggregation "
+            "under fused='auto', i.e. the hierarchical split plan; "
+            "subtracted in value_legacy)",
         ],
     }
 
@@ -278,6 +291,64 @@ def _kernel_scaling_md() -> str:
         f"**{min(best['scaling_efficiency'], 1.0)}** "
         f"(sound samples: {[r['scaling_efficiency'] for r in sound]}; "
         f"excluded as >1.05 noise artifacts: {excluded}).\n\n"
+    )
+
+
+def _raster_closure_md(raster_docs: int) -> str:
+    """Storm-free population statement for the RASTER stratum (round-6
+    verdict Next-round #3): the same machinery as the hybrid closure,
+    emitted for the pure-JVM path so the recent-15 raster median is
+    read against the honest population instead of raw storm samples."""
+    path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
+    if not os.path.exists(path):
+        return ""
+    storm_free: list[float] = []
+    n_stratum = 0
+    for line in open(path):
+        r = json.loads(line)
+        if int(r.get("docs", 0)) != raster_docs:
+            continue
+        effs = r.get("round_efficiencies", [])
+        loads = r.get("round_loads_after", [])
+        for i, e in enumerate(effs):
+            if e is None or not (0 < e <= 1.05):
+                continue
+            e = min(e, 1.0)
+            n_stratum += 1
+            if i < len(loads) and len(loads[i]) == 2:
+                l8, l32 = loads[i]
+                if max(l8 - 9.0, l32 - 33.0, 0.0) < 6.0:
+                    storm_free.append(e)
+    if not storm_free:
+        return ""
+    sf = sorted(storm_free)
+    med = sf[len(sf) // 2]
+    n = len(sf)
+    n_hi = sum(1 for e in sf if e >= 0.8)
+    p = n_hi / n
+    from math import comb
+
+    p_window = sum(
+        comb(15, j) * (p**j) * ((1 - p) ** (15 - j)) for j in range(8, 16)
+    )
+    return (
+        "## Raster-stratum population statement (recent-15 context)\n\n"
+        f"Of the {n_stratum} sound raster rounds at the {raster_docs:,}-doc\n"
+        f"stratum, **{n} are storm-free** (same external-load-excess < 6\n"
+        "policy as the hybrid closure). That population:\n\n"
+        f"- storm-free median: **{med:.3f}**; max: {sf[-1]:.3f}\n"
+        f"- storm-free samples >= 0.8: {n_hi} of {n} (rate {p:.3f})\n"
+        f"- P(a 15-round window medians >= 0.8 at that rate): "
+        f"**{p_window:.2e}**\n\n"
+        "Unlike the hybrid path, the raster path's CEILING clears the bar\n"
+        "(best sound 0.993-1.0; the pure-JVM plan has no Arrow feed term):\n"
+        "every shortfall sample is host-availability, and the fixed-cost\n"
+        "model (~1.3s/job floor at T32~20s) alone caps a SILENT-host round\n"
+        "near 0.93. A recent-15 median >= 0.8 therefore requires ~8 of 15\n"
+        "consecutive rounds to land in quiet windows (per-window odds\n"
+        "above); rounds continue to harvest toward it, and until a window\n"
+        "lands, this population statement is the honest summary: the plan\n"
+        "scales; the host intermittently does not.\n\n"
     )
 
 
@@ -607,7 +678,7 @@ def run_scaling(sf_dir: str) -> dict:
             "across all sound adjacent-A/B rounds in history.\n\n"
             "| path | best sound | median sound | sound rounds (n) | recent-15 median | target |\n"
             "|---|---|---|---|---|---|\n"
-            f"| raster (pure JVM) | {rs['best']} | {rs['median']} | {rs['n_sound']} | {report['raster_recent_stats']['median']} | >= 0.8 |\n"
+            f"| raster (pure JVM) | {rs['best']} | {rs['median']} | {rs['n_sound']} | {report['raster_recent_stats']['median']} | >= 0.8 — see 'Raster-stratum population statement' |\n"
             f"| hybrid (accurate, Arrow) | {hs['best']} | {hs['median']} | {hs['n_sound']} | {report['hybrid_recent_stats']['median']} | >= 0.8 — CLOSED as framework-bound, see 'Formal closure' below |\n\n"
             "(recent-15 = the last 15 sound rounds, i.e. current code; the\n"
             "all-history hybrid median includes 13 rounds from BEFORE the\n"
@@ -661,6 +732,7 @@ def run_scaling(sf_dir: str) -> dict:
             f"per-round split efficiencies: {report['round_efficiencies_hybrid_split']}\n\n"
             f"{_split_ab_md()}"
             f"{_kernel_scaling_md()}"
+            f"{_raster_closure_md(results[0]['docs'])}"
             f"{_scaling_closure_md(results[0]['hybrid_docs'])}"
             f"{_hybrid_rootcause_md()}"
             f"## vs reference single-node CPU baseline\n\n"
