@@ -834,12 +834,18 @@ class SpatialJoin:
         """Exactness precondition for the hierarchical descent: the
         chained left joins rely on cell NESTING — floor((v-o)/(w/f))
         // f == floor((v-o)/w) for every data value v. With integral
-        microdegree coordinates (the engine's canonical space) and cell
-        sizes that stay exact quarter-integers at every level, both
-        floors are exact (an integer v is never within an ulp of a cell
-        edge: min real distance 0.25 vs relative ulp ~1e-16 * |v|), so
-        nesting holds mathematically. Non-dyadic grids fall back to the
-        single-level split — still exact, just a fatter Arrow share."""
+        microdegree coordinates (the engine's canonical space, exact in
+        f64) and cell sizes that stay exact multiples of 2^-16 at every
+        level, both floors are exact: cell edges sit at multiples of
+        p/2^16, whose distance from any non-coincident integer v is
+        >= 2^-16 ~= 1.5e-5, while the single correctly-rounded IEEE
+        divide perturbs the quotient by <= 0.5 ulp (~6e-12 at the
+        deepest grid's quotient magnitudes) — five orders of magnitude
+        of margin, so a floor can never flip across a level. Grids
+        whose refined cells leave that binary-fraction family (or f32
+        parity mode, whose decisions are pinned single-level) fall back
+        to the single-level split — still exact, just a fatter Arrow
+        share."""
         if np.dtype(self.dtype) != np.float64:
             return False  # f32 parity mode pins single-level decisions
         if not (float(self.grid.x0).is_integer() and float(self.grid.y0).is_integer()):
@@ -847,7 +853,7 @@ class SpatialJoin:
         w, h = self.cls_grid.cell_w, self.cls_grid.cell_h
         for f in self.HIER_FACTORS:
             w, h = w / f, h / f
-            if not (float(w * 4).is_integer() and float(h * 4).is_integer()):
+            if not (float(w * 65536).is_integer() and float(h * 65536).is_integer()):
                 return False
         return True
 
@@ -1066,10 +1072,14 @@ class SpatialJoin:
         # interior aggregation as bucketed collect_list payloads was
         # measured SLOWER at the 1.6B stratum: ObjectHashAggregate
         # breaks whole-stage codegen, charging interpreted per-row cost
-        # on the FULL input, not just the 2% boundary. At rest, the second
-        # scan prunes to boundary-cell tiles when the source is a
-        # TileStore layout; on a raw table it is one extra column-
-        # pruned parquet pass.)
+        # on the FULL input, not just the 2% boundary. At rest the
+        # second scan is one extra column-pruned parquet pass (x, y
+        # only); measured on this host a full 1.6B-row scan costs ~1s
+        # of the plan's ~13s, so scan count is NOT the split plan's
+        # cost driver — probe work is. A cell-RANGE-clustered layout
+        # could additionally file-skip non-boundary tiles on this scan;
+        # TileStore's hash cell_buckets deliberately trade that for
+        # write balance, so no such pruning is claimed here.)
         bpts = points
         if hier and len(levels) > 1:
             deep_grid, deep_bcells = levels[-1][0], levels[-1][3]

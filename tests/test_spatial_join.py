@@ -335,6 +335,25 @@ def test_hier_split_matches_brute_force(spark, points_df, polyset,
     assert got_sum.astype(np.int64).tolist() == sums.tolist()
 
 
+def test_hier_split_poly4096_budget_stop(spark):
+    """4096 rect polygons on the bench grid: the level-2 refinement
+    exceeds HIER_PAIR_BUDGET, so the descent stops early — the split
+    must stay exact across the budget-stop boundary (2-level chain,
+    staged semi with mid = level 0), agreeing with the fused kernel."""
+    from raster_join_spark.fixtures import COARSE_GRID, rect_polyset
+    from raster_join_spark.sources.pages import synth_points
+
+    sj = SpatialJoin(spark, rect_polyset(), COARSE_GRID)
+    assert sj._hier_ok()
+    levels = sj._hier_levels()
+    assert 2 <= len(levels) <= len(SpatialJoin.HIER_FACTORS) + 1
+    pts = synth_points(spark, 100_000, 8)
+    a = sj.hybrid_join(pts, fused="split").orderBy("poly_id").toPandas()
+    b = sj.hybrid_join(pts, fused=True).orderBy("poly_id").toPandas()
+    assert a["agg"].tolist() == b["agg"].tolist()
+    assert int(a["agg"].sum()) > 0
+
+
 def test_rect_polyset_pip_equals_closed_form():
     """The 4096-rect gate fixture's load-bearing property: with every
     bound an exact (integer + 0.5) float64, ray-cast PIP over the rect
