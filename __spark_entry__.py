@@ -465,6 +465,21 @@ def _q_hybrid_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_split_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM through the hierarchical split plan: the JVM interior chain
+    carries the value column into its map-side-combined partials while
+    the Arrow sink sums only the deep-boundary residue — gated against
+    the same DuckDB oracle as the fused-kernel sum, so the two physical
+    plans' partial-aggregation arithmetic is pinned hash-identical."""
+    from raster_join_spark.fixtures import COARSE_GRID
+    from raster_join_spark.operators.spatial_join import AggSpec
+
+    return _sj(spark, COARSE_GRID).hybrid_join(
+        _points(spark, sf_dir), AggSpec("sum", "value_c", "agg"),
+        fused="split", coord_transfer="packed",
+    )
+
+
 def _q_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raster_join_spark.fixtures import COARSE_GRID, KNN_QUERIES
     from raster_join_spark.operators.knn import radius_query
@@ -1005,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_hybrid_f32": _q_hybrid_f32,
         "spatial_multi_collection": _q_multi_collection,
         "spatial_hybrid_sum": _q_hybrid_sum,
+        "spatial_split_sum": _q_split_sum,
         "radius_ellipse": _q_radius,
         "quadkey_assign": _q_quadkey_assign,
         "quadkey_rollup": _q_quadkey_rollup,
@@ -1074,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_hybrid_f32": oracles.index_count_f32_sql(),
         "spatial_multi_collection": oracles.multi_collection_sql(),
         "spatial_hybrid_sum": oracles.sum_sql(),
+        "spatial_split_sum": oracles.sum_sql(),
         "radius_ellipse": oracles.radius_sql(RADIUS_RX, RADIUS_RY),
         "quadkey_assign": oracles.quadkey_assign_sql(QK_ZOOM),
         "quadkey_rollup": oracles.quadkey_rollup_sql(QK_ZOOM, QK_ROLLUP_ZOOM),

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import __spark_entry__ as e
 
-EXPECTED_QUERIES = 55  # r6: 53; r7 adds spatial_hole_evenodd, spatial_split_count
+EXPECTED_QUERIES = 56  # r6: 53; r7 adds spatial_hole_evenodd, spatial_split_count, spatial_split_sum
 
 
 def test_gate_surface_is_pinned():
