@@ -333,6 +333,13 @@ def test_hier_split_matches_brute_force(spark, points_df, polyset,
         .orderBy("poly_id").toPandas()["agg"].fillna(0).to_numpy()
     )
     assert got_sum.astype(np.int64).tolist() == sums.tolist()
+    got_avg = (
+        sj.hybrid_join(points_df, agg=AggSpec("avg", "val"), fused="split")
+        .orderBy("poly_id").toPandas()["agg"].to_numpy()
+    )
+    # same single IEEE divide as the engine's finalize: sum/cnt in f64
+    want_avg = np.where(cnt > 0, sums / np.where(cnt > 0, cnt, 1), np.nan)
+    assert np.array_equal(got_avg, want_avg, equal_nan=True)
 
 
 def test_hier_split_poly4096_budget_stop(spark):
