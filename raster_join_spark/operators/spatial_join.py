@@ -771,7 +771,7 @@ class SpatialJoin:
         ``fused=True`` plan.
 
         ``stats`` (optional dict) records the decision:
-        {"plan": "fused"|"split"|..., "boundary_fraction": float|None}."""
+        {"plan": "fused"|"split"|"pairs"|"jvm", "refine_k": int}."""
         if fused == "auto":
             if agg.op in ("count", "sum", "avg"):
                 fused = "split"
