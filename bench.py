@@ -177,6 +177,20 @@ def run_suite(master: str, sf_dir: str) -> dict:
     }
 
 
+def _steal_snapshot() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — the direct
+    measure of hypervisor CPU theft by co-tenants. The sandbox's
+    'external storms' show up here (cumulative steal is ~10% of user
+    time on this host) even though /proc/loadavg only counts our own
+    runnable threads; recording per-leg steal lets soundness gating
+    observe the contention itself instead of inferring it from load."""
+    try:
+        vals = [int(v) for v in open("/proc/stat").readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError):
+        return 0, 0
+
+
 def _flagship_once(master: str, sf_dir: str) -> dict:
     """Run only the flagship job (hybrid spatial agg) — used by --scaling
     via subprocess so each parallelism level gets a fresh JVM.
@@ -203,6 +217,7 @@ def _flagship_once(master: str, sf_dir: str) -> dict:
     n_hybrid = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1600000000"))
     n_raster = int(os.environ.get("SPARK_GRAFT_SCALE_N_RASTER", "8000000000"))
     spark = get_spark(app_name="rjs-scaling", master=master)
+    steal0, total0 = _steal_snapshot()
     # warm-up: JIT + python workers + broadcast path at small N
     sj0 = SpatialJoin(spark, ORACLE_POLYS, COARSE_GRID)
     sj0.hybrid_join(synth_points(spark, 2_000_000, 256)).collect()
@@ -250,12 +265,19 @@ def _flagship_once(master: str, sf_dir: str) -> dict:
         load1 = float(open("/proc/loadavg").read().split()[0])
     except OSError:
         load1 = -1.0
+    steal1, total1 = _steal_snapshot()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / max(total1 - total0, 1), 2)
+        if total1 > total0
+        else None
+    )
     return {"master": master, "sec": round(t_raster, 3), "docs": n_raster,
             "docs_per_sec": round(n_raster / t_raster, 1),
             "hybrid_sec": round(t_hybrid, 3), "hybrid_docs": n_hybrid,
             "hybrid_docs_per_sec": round(n_hybrid / t_hybrid, 1),
             "hybrid_split_sec": round(t_split, 3),
             "hybrid_split_docs_per_sec": round(n_hybrid / t_split, 1),
+            "steal_pct": steal_pct,
             "load_after": load1}
 
 
@@ -511,6 +533,7 @@ def run_scaling(sf_dir: str) -> dict:
     hybrid_effs: list[float] = []
     split_effs: list[float] = []
     loads: list[tuple] = []
+    steals: list[tuple] = []
     for _ in range(rounds):
         _wait_for_quiet_host()
         for master, cpus in (("local[8]", "0-7"), ("local[32]", "0-31")):
@@ -529,6 +552,8 @@ def run_scaling(sf_dir: str) -> dict:
             results[master] = r
         loads.append((results["local[8]"].get("load_after"),
                       results["local[32]"].get("load_after")))
+        steals.append((results["local[8]"].get("steal_pct"),
+                       results["local[32]"].get("steal_pct")))
         round_effs.append(
             round((samples["local[8]"][-1] / samples["local[32]"][-1]) / 4.0, 3)
         )
@@ -579,6 +604,11 @@ def run_scaling(sf_dir: str) -> dict:
         "round_efficiencies_hybrid": hybrid_effs,
         "round_efficiencies_hybrid_split": split_effs,
         "round_loads_after": loads,
+        # machine-wide hypervisor steal over each leg's whole run
+        # (/proc/stat field 8): the DIRECT external-contention measure —
+        # loadavg only sees our own threads. Recorded from r7 on so
+        # soundness analysis can gate on observed theft, not inference.
+        "round_steal_pct": steals,
         "hybrid_docs": results[0]["hybrid_docs"],
         # r7: the auto-rule (hierarchical split) hybrid at the same
         # stratum, per level — throughput evidence for the accurate path
@@ -718,6 +748,9 @@ def run_scaling(sf_dir: str) -> dict:
             f"- all samples local[8]: {report['runs_local8']}\n"
             f"- all samples local[32]: {report['runs_local32']}\n"
             f"- per-round raster efficiencies (adjacent A/B pairs): {report['round_efficiencies']}\n"
+            f"- per-round hypervisor steal pct (8-leg, 32-leg; /proc/stat — the\n"
+            f"  direct external-contention measure, recorded from r7 on): "
+            f"{report.get('round_steal_pct')}\n"
             f"- NOTE: the sandbox host carries unpredictable external load\n"
             f"  (load avg >18 with zero sandbox processes observed); each round\n"
             f"  runs local[8] and local[32] back-to-back so both see similar\n"
