@@ -325,6 +325,7 @@ def _raster_closure_md(raster_docs: int) -> str:
     if not os.path.exists(path):
         return ""
     storm_free: list[float] = []
+    steal_gated: list[tuple[float, float, float]] = []  # (eff, s8, s32)
     n_stratum = 0
     for line in open(path):
         r = json.loads(line)
@@ -332,6 +333,7 @@ def _raster_closure_md(raster_docs: int) -> str:
             continue
         effs = r.get("round_efficiencies", [])
         loads = r.get("round_loads_after", [])
+        steals = r.get("round_steal_pct", [])
         for i, e in enumerate(effs):
             if e is None or not (0 < e <= 1.05):
                 continue
@@ -341,8 +343,35 @@ def _raster_closure_md(raster_docs: int) -> str:
                 l8, l32 = loads[i]
                 if max(l8 - 9.0, l32 - 33.0, 0.0) < 6.0:
                     storm_free.append(e)
+            if (
+                i < len(steals)
+                and len(steals[i]) == 2
+                and steals[i][0] is not None
+                and steals[i][1] is not None
+            ):
+                steal_gated.append((e, steals[i][0], steals[i][1]))
     if not storm_free:
         return ""
+    steal_md = ""
+    quiet = [e for e, s8, s32 in steal_gated if max(s8, s32) < 1.5]
+    if steal_gated:
+        qs = sorted(quiet)
+        steal_md = (
+            "\nSteal-instrumented rounds (r7+; hypervisor steal pct is the\n"
+            "DIRECT external-contention measure — see round_steal_pct):\n"
+            f"{[(e, s8, s32) for e, s8, s32 in steal_gated]}. Of these,\n"
+            f"{len(quiet)} ran steal-free (<1.5%% both legs)"
+            + (
+                f"; their raster efficiencies: {qs} (median "
+                f"{qs[len(qs) // 2]:.3f}) — the measured SILENT-host level\n"
+                "for this stratum; the residual gap to the fixed-cost model's\n"
+                "~0.93 is a single-node shared-resource effect (raw probe\n"
+                "data: BENCH/membw.jsonl, tools/membw_probe.py — only\n"
+                "steal-free probe rounds are interpretable).\n"
+                if quiet
+                else ".\n"
+            )
+        )
     sf = sorted(storm_free)
     med = sf[len(sf) // 2]
     n = len(sf)
@@ -370,7 +399,8 @@ def _raster_closure_md(raster_docs: int) -> str:
         "consecutive rounds to land in quiet windows (per-window odds\n"
         "above); rounds continue to harvest toward it, and until a window\n"
         "lands, this population statement is the honest summary: the plan\n"
-        "scales; the host intermittently does not.\n\n"
+        "scales; the host intermittently does not.\n"
+        f"{steal_md}\n"
     )
 
 
