@@ -360,7 +360,7 @@ def _raster_closure_md(raster_docs: int) -> str:
             "\nSteal-instrumented rounds (r7+; hypervisor steal pct is the\n"
             "DIRECT external-contention measure — see round_steal_pct):\n"
             f"{[(e, s8, s32) for e, s8, s32 in steal_gated]}. Of these,\n"
-            f"{len(quiet)} ran steal-free (<1.5%% both legs)"
+            f"{len(quiet)} ran steal-free (<1.5% both legs)"
             + (
                 f"; their raster efficiencies: {qs} (median "
                 f"{qs[len(qs) // 2]:.3f}) — the measured SILENT-host level\n"
