@@ -105,21 +105,28 @@ def knn_join(
         max_radius = max(grid.nx, grid.ny)
     cell_min = min(grid.cell_w, grid.cell_h)
 
-    pts = points.select(id_col, x, y).withColumn(
-        "cell_id", grid.cell_id_col(F.col(x), F.col(y))
-    ).filter(F.col("cell_id").isNotNull())
-    # pts is the UN-shuffled probe side of every round's broadcast join,
-    # so each round's stage inherits the source's partition count — a
-    # single-file source (or an expensive single-partition view) would
-    # serialize every probe round into one task. At scale sources carry
-    # >= cores partitions and this is a no-op.
-    par = spark.sparkContext.defaultParallelism
-    if pts.rdd.getNumPartitions() < par:
-        pts = pts.repartition(par)
+    # Persist the NARROW projection and derive every probe input from
+    # the cache (r8). Two reasons, both measured at sf1.0 (1M rows,
+    # single-row-group source):
+    # (1) Catalyst inlines an expensive source projection into every
+    #     downstream expression that references it (the pushed-down
+    #     cell filter, the join key, dist2) and the resulting giant
+    #     expression tree falls out of whole-stage codegen — one probe
+    #     round cost 19-24s uncached vs ~0.3s over the cache. The
+    #     InMemoryRelation is an optimizer barrier: the projection is
+    #     evaluated exactly once per row at cache build (~0.5-2s), and
+    #     all cell/distance arithmetic runs over cached doubles.
+    # (2) multi-round queries and the exhaustive fallback re-scan the
+    #     same rows; the cache bounds the source cost at one pass.
+    # The probe side carries NO cell_id IS NOT NULL filter — an INNER
+    # join on cell_id never matches a null key, so the filter is
+    # redundant there; only the exhaustive fallback applies it (the
+    # in-grid restriction is part of that plan's semantics).
+    base = points.select(id_col, x, y).persist()
+    pts = base.withColumn("cell_id", grid.cell_id_col(F.col(x), F.col(y)))
     if stats is None:
         stats = {}
     stats.update({"rounds": 0, "max_literal_rows": 0, "exhaustive": False})
-    cached = False
     try:
         # initial radius: size the first probe disk for ~64k expected
         # candidates — the in-plan top-k reduction bounds the collect
@@ -188,8 +195,13 @@ def knn_join(
                     [(q, -1, qpos[q][0], qpos[q][1]) for q in sorted(pending)],
                     q_schema,
                 ).drop("cell_id")
-                cand = pts.crossJoin(F.broadcast(qlit)).select(
-                    "q_id", F.col(id_col), dist2_col
+                cand = (
+                    base.withColumn(
+                        "cell_id", grid.cell_id_col(F.col(x), F.col(y))
+                    )
+                    .filter(F.col("cell_id").isNotNull())
+                    .crossJoin(F.broadcast(qlit))
+                    .select("q_id", F.col(id_col), dist2_col)
                 )
                 by_q = {
                     row["q_id"]: row["top"]
@@ -201,12 +213,6 @@ def knn_join(
                     pending.discard(q)
                 break
             stats["rounds"] += 1
-            if stats["rounds"] == 2 and not cached:
-                # first round didn't certify everything: later rounds
-                # re-probe the same input, so cache it now (lazily — the
-                # certify-in-one-round case never pays for it)
-                pts = pts.persist()
-                cached = True
             # literal table: ONLY the new annulus r_prev+1 .. r per
             # pending query, with query coords inlined — one broadcast
             # join resolves both the probe and the distance inputs
@@ -268,8 +274,7 @@ def knn_join(
         )
         return spark.createDataFrame(final_rows, out_schema)
     finally:
-        if cached:
-            pts.unpersist()
+        base.unpersist()
 
 
 def _block_topk_by_cell(
@@ -611,14 +616,13 @@ def knn_join_bulk(
         # than every kernel below combined). Cache the PROJECTED three
         # columns — far smaller than the source table — and derive every
         # grid assignment (including the refined grid) from the cache.
-        pts_base = points.select(id_col, x, y)
-        par = spark.sparkContext.defaultParallelism
-        if pts_base.rdd.getNumPartitions() < par:
-            # single-file sources otherwise serialize every scan into
-            # one task; at scale sources have >= par partitions and this
-            # is a no-op (never an extra shuffle of a big table)
-            pts_base = pts_base.repartition(par)
-        pts_base = pts_base.persist()
+        # (r8) the .rdd.getNumPartitions() under-parallelism guard that
+        # used to live here cost ~0.5-1s of pure driver time per call
+        # (full physical planning of the source just to read a number);
+        # source parallelism is the source's job now — points_df
+        # repartitions single-row-group files itself, and synth/test
+        # sources already carry >= parallelism partitions.
+        pts_base = points.select(id_col, x, y).persist()
 
         def _assign(g: GridSpec) -> DataFrame:
             return pts_base.withColumn(
@@ -822,8 +826,20 @@ def knn_join_bulk(
             pts_round = pts.join(
                 F.broadcast(disk.select("cell_id").distinct()), "cell_id", "leftsemi"
             )
+            # bucket count from DATA volume, not cell count (r8): the
+            # pandas cogroup pays fixed per-GROUP overhead, so groups
+            # should be as few as balance allows — the refined grid's
+            # old cell-count formula hit the 32768 cap and charged
+            # ~0.5-1s of pure group overhead per round at sf1.0
+            # (measured sweep: 512 groups 2.8-3.4s vs 32768 3.5-3.6s
+            # kernel wall; skew below 256 groups reverses the gain).
+            # Scale-adaptively: ~2048 point rows per bucket, floored at
+            # 512 (balance across tasks), capped at 32768 (bounds the
+            # per-group pandas frame at scale).
+            ng = int(min(grid.n_cells, max(512, n_total // 2048), 32768))
             percell = _block_topk_by_cell(
-                disk, pts_round, grid, k, x, y, id_col, cell_counts=counts
+                disk, pts_round, grid, k, x, y, id_col,
+                n_groups=ng, cell_counts=counts,
             )
             # ONE persisted frame per round, covering BOTH branches: the
             # loop-control count below materializes it, so the certified

@@ -115,7 +115,14 @@ def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the engine's ingest projection (reference S2,
     Dataset.cpp:26-31) expressed as native column expressions: the regexp
     extraction + casts run JVM-side inside whole-stage codegen.
-    """
+
+    (r8 note: a repartition of the raw events scan was tried here to
+    spread the single-row-group file across cores and REVERTED — it
+    regressed every consumer that is not python-CPU-bound (measured
+    spatial_split_count 1.8s -> 15.7s at sf1.0: the exchange below the
+    chained broadcast probes breaks their single codegen'd pipeline).
+    Operators that re-scan this expensive projection fix parallelism
+    at their own persist boundary instead — see knn.py.)"""
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     # `text` rides along for the byte-identity invariant; Catalyst prunes
     # it out of every plan that doesn't select it (tests/test_plans.py)
