@@ -288,6 +288,7 @@ def _block_topk_by_cell(
     n_groups: int | None = None,
     max_pts_per_block: int = 2048,
     cell_counts: DataFrame | None = None,
+    bounded_cells: bool = False,
 ) -> DataFrame:
     """Bucket-blocked kNN: cogroup (q_id, qx, qy, cell_id) probes with
     (cell_id, id, x, y) points by a HASH BUCKET of cells
@@ -349,35 +350,50 @@ def _block_topk_by_cell(
     # seeding) skip re-aggregating the point side every invocation; a
     # superset of the probed cells is fine — unprobed hot cells simply
     # never appear in either cogroup side.
-    if cell_counts is None:
-        cell_counts = pts.groupBy("cell_id").agg(F.count(F.lit(1)).alias("_n"))
-    hot = cell_counts.filter(F.col("_n") > max_pts_per_block).select(
-        "cell_id",
-        F.ceil(F.col("_n") / F.lit(max_pts_per_block))
-        .cast("int")
-        .alias("_nsplit"),
-    )
-    pts = pts.join(F.broadcast(hot), "cell_id", "left").withColumn(
-        "_salt",
-        F.when(F.col("_nsplit").isNull(), F.lit(0)).otherwise(
-            F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsplit")).cast("int")
-        ),
-    )
-    probes = probes.join(F.broadcast(hot), "cell_id", "left").withColumn(
-        "_salt",
-        F.explode(
-            F.sequence(F.lit(0), F.coalesce(F.col("_nsplit"), F.lit(1)) - 1)
-        ),
-    )
-    # fold the salt into the segmentation key so a probe replica only
-    # ever meets ITS OWN point slice (two slices of one cell colliding
-    # into one group would hand each replica the full point set and
-    # duplicate candidates in the merge). 2^20 slices x 2048 pts bounds
-    # a single cell at ~2G points before shift collision — far beyond
-    # any sane grid; cell ids stay within int64 up to ~2^43 cells.
-    _ck = (F.col("cell_id") * F.lit(1 << 20) + F.col("_salt")).alias("cell_id")
-    pts = pts.select(_ck, id_col, x, y)
-    probes = probes.select(_ck, "q_id", "qx", "qy")
+    if bounded_cells:
+        # caller certifies (from MEASURED per-cell counts, not the
+        # refinement heuristic) that no cell exceeds max_pts_per_block:
+        # the whole hot-split apparatus — broadcast build of the hot
+        # table, a left join + salt column on each cogroup side, the
+        # probe-replication explode, the 2^20 key fold — would be
+        # per-row work spent proving "not hot" for every row. Skip it;
+        # plain cell ids key the buckets. Results are identical by the
+        # salting exactness argument with zero split cells (r8;
+        # pinned by tests/test_knn.py::test_bulk_bounded_cells_flag).
+        pts = pts.select("cell_id", id_col, x, y)
+        probes = probes.select("cell_id", "q_id", "qx", "qy")
+    else:
+        if cell_counts is None:
+            cell_counts = pts.groupBy("cell_id").agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+        hot = cell_counts.filter(F.col("_n") > max_pts_per_block).select(
+            "cell_id",
+            F.ceil(F.col("_n") / F.lit(max_pts_per_block))
+            .cast("int")
+            .alias("_nsplit"),
+        )
+        pts = pts.join(F.broadcast(hot), "cell_id", "left").withColumn(
+            "_salt",
+            F.when(F.col("_nsplit").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsplit")).cast("int")
+            ),
+        )
+        probes = probes.join(F.broadcast(hot), "cell_id", "left").withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("_nsplit"), F.lit(1)) - 1)
+            ),
+        )
+        # fold the salt into the segmentation key so a probe replica only
+        # ever meets ITS OWN point slice (two slices of one cell colliding
+        # into one group would hand each replica the full point set and
+        # duplicate candidates in the merge). 2^20 slices x 2048 pts bounds
+        # a single cell at ~2G points before shift collision — far beyond
+        # any sane grid; cell ids stay within int64 up to ~2^43 cells.
+        _ck = (F.col("cell_id") * F.lit(1 << 20) + F.col("_salt")).alias("cell_id")
+        pts = pts.select(_ck, id_col, x, y)
+        probes = probes.select(_ck, "q_id", "qx", "qy")
 
     q_t = probes.schema["q_id"].dataType
     id_t = pts.schema[id_col].dataType
@@ -666,10 +682,21 @@ def knn_join_bulk(
                 counts = pts.groupBy("cell_id").agg(
                     F.count(F.lit(1)).alias("_n")
                 )
+        mx_eff = mx if counts is not None else None
         if counts is not None:
             # reused every round (occupied-cell probe prune) and by the
             # r0 seeding join; bounded by occupied cells
             counts = counts.persist()
+            if "refine_factor" in stats:
+                # the MEASURED densest-cell occupancy on the refined
+                # grid (refinement targets <= max_pts_per_cell but is a
+                # heuristic — a base cell's points could all land in one
+                # child). The agg doubles as the counts-cache
+                # materialization, so it costs one small job, and it
+                # lets every round skip the hot-split machinery when the
+                # bound holds (bounded_cells below).
+                mx_eff = counts.agg(F.max("_n")).collect()[0][0] or 0
+        stats["max_cell_pts"] = mx_eff
         cell_min = min(grid.cell_w, grid.cell_h)
         # radius cap: the per-query disk never exceeds max_cells_per_query
         # (a query that would need more loops until the all-capped /
@@ -818,14 +845,24 @@ def knn_join_bulk(
             # IEEE double sequence as dist2_col, so results are bit-equal
             # to the join form.
             # prune the point side to probed cells BEFORE the cogroup
-            # shuffle (the old broadcast join got this pruning implicitly):
-            # later rounds have few pending queries, so without this the
-            # full point table would re-shuffle every round. The distinct
-            # cell list is strictly smaller than the disk table the old
-            # plan already broadcast.
-            pts_round = pts.join(
-                F.broadcast(disk.select("cell_id").distinct()), "cell_id", "leftsemi"
-            )
+            # shuffle — but only from round 2 on (r8): in round 1 every
+            # query is pending and the disks cover most occupied cells,
+            # so the prune dropped ~70% of point rows yet still LOST
+            # overall (measured at sf1.0: round 5.3s median without vs
+            # 6.9s with — the distinct+broadcast job and the second
+            # disk computation cost more than shuffling the extra rows;
+            # unmatched point buckets exit the kernel immediately).
+            # Later rounds have FEW pending queries, so without the
+            # prune the full point table would re-shuffle every round —
+            # there the distinct cell list is small and the prune wins.
+            if stats["rounds"] > 1:
+                pts_round = pts.join(
+                    F.broadcast(disk.select("cell_id").distinct()),
+                    "cell_id",
+                    "leftsemi",
+                )
+            else:
+                pts_round = pts
             # bucket count from DATA volume, not cell count (r8): the
             # pandas cogroup pays fixed per-GROUP overhead, so groups
             # should be as few as balance allows — the refined grid's
@@ -840,6 +877,10 @@ def knn_join_bulk(
             percell = _block_topk_by_cell(
                 disk, pts_round, grid, k, x, y, id_col,
                 n_groups=ng, cell_counts=counts,
+                # measured refined-grid occupancy bound: when no cell
+                # exceeds the block budget, the hot-split joins/explode
+                # are provably dead weight (see _block_topk_by_cell)
+                bounded_cells=(mx_eff is not None and mx_eff <= 2048),
             )
             # ONE persisted frame per round, covering BOTH branches: the
             # loop-control count below materializes it, so the certified

@@ -496,6 +496,50 @@ def test_block_kernel_hot_cell_salting_exact(spark):
         assert merged(max_pts) == base, f"max_pts_per_block={max_pts}"
 
 
+def test_bulk_bounded_cells_flag(spark):
+    """bounded_cells=True (r8: caller certifies no cell exceeds the
+    block budget, so the hot-split joins/explode are skipped and plain
+    cell ids key the buckets) must be bit-identical to the default
+    salted path on data where the bound holds."""
+    from raster_join_spark.operators.knn import _block_topk_by_cell
+
+    rng = np.random.RandomState(23)
+    n, k, nq = 1200, 3, 80
+    x = rng.randint(0, 300, n).astype(np.float64)
+    y = rng.randint(0, 300, n).astype(np.float64)
+    grid = GridSpec(0.0, 0.0, 15.0, 15.0, 20, 20)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "x": x, "y": y})
+    ).withColumn("cell_id", grid.cell_id_col(F_col("x"), F_col("y"))).filter(
+        F_col("cell_id").isNotNull()
+    )
+    qx = rng.randint(0, 300, nq).astype(np.float64)
+    qy = rng.randint(0, 300, nq).astype(np.float64)
+    rows = []
+    for q in range(nq):
+        cx0, cy0 = int(qx[q] // 15), int(qy[q] // 15)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cx, cy = cx0 + dx, cy0 + dy
+                if 0 <= cx < 20 and 0 <= cy < 20:
+                    rows.append((q, qx[q], qy[q], cx + 20 * cy))
+    probes = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["q_id", "qx", "qy", "cell_id"])
+    )
+
+    def merged(**kw):
+        out = _block_topk_by_cell(
+            probes, pts, grid, k, "x", "y", "event_id", n_groups=16, **kw
+        ).toPandas()
+        res = {}
+        for q, g in out.groupby("q_id"):
+            gg = g.sort_values(["dist2", "event_id"]).head(k)
+            res[q] = list(zip(gg["event_id"], gg["dist2"]))
+        return res
+
+    assert merged(bounded_cells=True) == merged()
+
+
 def test_knn_bulk_out_of_grid_query_no_cell_alias(spark):
     """An out-of-grid query (qcx=-1) must not alias a valid cell when
     seeding its initial radius (ADVICE r6: qcx + nx*qcy wraps onto cell
