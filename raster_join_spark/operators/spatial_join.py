@@ -777,14 +777,29 @@ class SpatialJoin:
         Result is identical to index_join; only the physical plan differs
         (PIP runs on boundary-cell points only).
 
-        ``fused=True`` (default for aggregate output) runs the one-pass
-        partial-aggregation plan; ``fused="split"`` resolves interior
-        cells ENTIRELY JVM-side and sends only boundary-cell points
-        through the Arrow kernel — the minimum-python plan, but it scans
-        the input TWICE (cell partials + boundary semi-join are separate
-        consumers); ``fused=False`` keeps the pair-materializing
-        broadcast-join plan (same rows, useful for plan comparison and
-        per-point outputs). All variants return identical results.
+        The gate queries and the bench run ``fused="auto"``, which since
+        r7 picks the HIERARCHICAL SPLIT plan for partial-aggregable ops
+        (count/sum/avg): interior membership resolves through chained
+        per-level broadcast hashmap probes entirely JVM-side, and only
+        the ~2% of points the boundary-only quadtree leaves unresolved
+        cross the Arrow boundary. The keyword's literal values select
+        explicit plans: ``fused=True`` (the signature default, kept for
+        API compatibility) is the one-pass fused mapInArrow
+        partial-vector kernel; ``fused="split"`` forces the split plan
+        (it scans the input TWICE — interior chain and boundary
+        semi-join are separate consumers); ``fused=False`` keeps the
+        pair-materializing broadcast-join plan (same rows, useful for
+        plan comparison and per-point outputs). All variants return
+        identical results.
+
+        Hierarchical-split exactness additionally assumes INTEGRAL point
+        coordinates (the engine's canonical integer-microdegree space,
+        exact in float64): the multi-level floor-nesting argument in
+        ``_hier_ok`` bounds rounding against cell edges at binary
+        fractions, which a non-integral coordinate within ~1 ulp of a
+        refined cell edge could violate (ADVICE r7). Callers feeding
+        non-integral coords should pass ``fused=True`` (the fused kernel
+        and single-level split carry no such data precondition).
 
         ``fused="auto"`` applies the measured decision rule, re-derived
         in round 7 (BENCH/split_ab.jsonl): for partial-aggregable ops

@@ -65,6 +65,12 @@ def get_spark(
         # threshold so the partial lists stay hash-aggregated. Memory
         # stays bounded: the operators cap per-query candidates before
         # the agg (annulus literal cap; <=2048-point salted slices).
+        # SESSION-WIDE INVARIANT (ADVICE r7): because this raises the
+        # sort-based fallback for EVERY ObjectHashAggregate in the
+        # engine, any new collect_list/collect_set-style operator MUST
+        # cap its per-group payload before aggregating (as the knn
+        # operators do) — an uncapped group inherits OOM risk instead
+        # of graceful sort-based spill.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

@@ -194,20 +194,47 @@ class HadoopFS:
         try:
             self._create(path, text, False)
         except Py4JJavaError as e:
+            # match the exception CLASS, not the message text (ADVICE
+            # r7): differently-worded backends must still map the
+            # CAS-loss to FileExistsError. Message match kept as a
+            # fallback for stores that raise a generic IOException with
+            # an informative message only.
+            cls = e.java_exception.getClass().getName()
             msg = str(e.java_exception)
-            if "AlreadyExists" in msg or "already exists" in msg:
+            if (
+                cls.endswith("FileAlreadyExistsException")
+                or "AlreadyExists" in msg
+                or "already exists" in msg
+            ):
                 raise FileExistsError(path) from None
             raise
+        # post-commit read-back verify (ADVICE r7): on stores whose
+        # create(overwrite=false) is not truly atomic, two writers can
+        # both appear to commit — only the one whose content survived
+        # actually won the CAS
+        if self.read_text(path) != text:
+            raise FileExistsError(path)
 
     def replace_text(self, path: str, text: str, tmp: str) -> None:
         """delete + rename (Hadoop rename never overwrites a file). The
         not-atomic gap shows readers a MISSING file, which every store
         caller treats as 'derive from the authoritative listing'."""
+        import os as _os
+
+        # per-process tmp name (ADVICE r7): two concurrent heals sharing
+        # one tmp path would race the rename; the loser's failure was
+        # silent because Hadoop rename reports failure by returning
+        # false, not raising — check the return value too
+        tmp = f"{tmp}.{_os.getpid()}"
         self._create(tmp, text, True)
         p = self._jpath(path)
         if self._fs.exists(p):
             self._fs.delete(p, False)
-        self._fs.rename(self._jpath(tmp), p)
+        if not self._fs.rename(self._jpath(tmp), p):
+            # surface the loss instead of silently orphaning the tmp
+            # file; the missing-pointer state self-heals on next read
+            self._fs.delete(self._jpath(tmp), False)
+            raise OSError(f"rename {tmp} -> {path} failed (concurrent writer?)")
 
     def remove(self, path: str) -> None:
         self._fs.delete(self._jpath(path), False)
