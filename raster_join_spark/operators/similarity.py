@@ -21,15 +21,37 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _sq(col: str) -> str:
+    """Backtick-quote a possibly alias-qualified column for Spark SQL."""
+    return ".".join(f"`{p}`" for p in col.split("."))
+
+
+def _fold_add(terms: list[str]) -> str:
+    """Left-fold parenthesized addition — the exact IEEE sequence the
+    Column form produced and the DuckDB twins reproduce."""
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
 def dot_expr(col: str, q: np.ndarray) -> Column:
     """Unrolled dot product: ((e0*q0 + e1*q1) + e2*q2) ... left-fold in
-    double — the same IEEE sequence the generated SQL uses."""
-    acc: Column | None = None
-    for i, qi in enumerate(np.asarray(q, dtype=np.float64)):
-        term = F.col(col)[i].cast("double") * F.lit(float(qi))
-        acc = term if acc is None else acc + term
-    assert acc is not None
-    return acc
+    double — the same IEEE sequence the generated SQL uses.
+
+    (r8) Built as ONE Spark-SQL string parsed by a single F.expr call:
+    the previous per-term Column arithmetic issued ~4 py4j round trips
+    per element (measured ~3s of pure DRIVER time to CONSTRUCT the
+    64-dim near-dup plan before any action). The parsed tree is
+    node-for-node the one the Column form built (same casts, same
+    literals via the D double suffix, same left-fold parens), so every
+    generated-SQL oracle stays hash-exact — gate-verified."""
+    c = _sq(col)
+    terms = [
+        f"CAST({c}[{i}] AS DOUBLE) * {float(qi)!r}D"
+        for i, qi in enumerate(np.asarray(q, dtype=np.float64))
+    ]
+    return F.expr(_fold_add(terms))
 
 
 def dot_sql(col: str, q: np.ndarray) -> str:
@@ -103,14 +125,24 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 
 def lsh_bucket_col(vec_col: str, planes: np.ndarray) -> Column:
     """Pack sign bits of hyperplane projections into a bucket id —
-    column-expression only (unrolled), no UDF."""
-    acc: Column | None = None
-    for bit, plane in enumerate(planes):
-        proj = dot_expr(vec_col, plane)
-        b = F.when(proj >= 0, F.lit(1 << bit)).otherwise(F.lit(0))
-        acc = b if acc is None else acc + b
-    assert acc is not None
-    return acc.cast("long")
+    column-expression only (unrolled), no UDF. One-string F.expr build
+    (r8, see dot_expr): n_planes x dim Column ops cost seconds of py4j
+    driver chatter per plan construction."""
+    c = _sq(vec_col)
+
+    def _proj(plane: np.ndarray) -> str:
+        return _fold_add(
+            [
+                f"CAST({c}[{i}] AS DOUBLE) * {float(qi)!r}D"
+                for i, qi in enumerate(np.asarray(plane, dtype=np.float64))
+            ]
+        )
+
+    terms = [
+        f"CASE WHEN ({_proj(plane)}) >= 0 THEN {1 << bit} ELSE 0 END"
+        for bit, plane in enumerate(planes)
+    ]
+    return F.expr(f"CAST({_fold_add(terms)} AS BIGINT)")
 
 
 def lsh_topk(
@@ -423,13 +455,14 @@ def ivf_topk_pruned(
 
 
 def _self_dot_expr(vec_col: str, dim: int) -> Column:
-    """Unrolled ||v||^2 left-fold (same IEEE sequence as the SQL twin)."""
-    acc: Column | None = None
-    for i in range(dim):
-        t = F.col(vec_col)[i].cast("double") * F.col(vec_col)[i].cast("double")
-        acc = t if acc is None else acc + t
-    assert acc is not None
-    return acc
+    """Unrolled ||v||^2 left-fold (same IEEE sequence as the SQL twin).
+    One-string F.expr build (r8, see dot_expr)."""
+    c = _sq(vec_col)
+    terms = [
+        f"CAST({c}[{i}] AS DOUBLE) * CAST({c}[{i}] AS DOUBLE)"
+        for i in range(dim)
+    ]
+    return F.expr(_fold_add(terms))
 
 
 def _self_dot_sql(vec_col: str, dim: int) -> str:
@@ -628,13 +661,17 @@ def embedding_neardup_pairs(
     capped = base.join(F.broadcast(hot), "bucket", "left_anti")
     a = capped.alias("a")
     b = capped.alias("b")
-    dot: Column | None = None
-    for i in range(dim):
-        t = (
-            F.col(f"a.{vec_col}")[i].cast("double")
-            * F.col(f"b.{vec_col}")[i].cast("double")
+    # one-string pair dot (r8, see dot_expr): the per-element Column
+    # loop cost ~2s of driver py4j chatter per plan build at dim=64
+    ca, cb = _sq(f"a.{vec_col}"), _sq(f"b.{vec_col}")
+    dot = F.expr(
+        _fold_add(
+            [
+                f"CAST({ca}[{i}] AS DOUBLE) * CAST({cb}[{i}] AS DOUBLE)"
+                for i in range(dim)
+            ]
         )
-        dot = t if dot is None else dot + t
+    )
     cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
