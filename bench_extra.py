@@ -109,20 +109,6 @@ def run_suite(sf_dir: str, reps: int = 2) -> None:
     print(json.dumps({"sf_dir": sf_dir, "noop_secs": out}))
 
 
-def run_plans(sf_dir: str, dest: str) -> None:
-    import __spark_entry__ as e
-
-    spark = _spark()
-    qs = e.queries()
-    os.makedirs(dest, exist_ok=True)
-    for name, fn in qs.items():
-        try:
-            plan = fn(spark, sf_dir)._sc is not None and fn(spark, sf_dir)
-        except Exception as ex:  # pragma: no cover
-            print(f"{name}: ERROR {ex}")
-            continue
-
-
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "suite"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else SF_DIR
