@@ -653,6 +653,7 @@ def knn_join_bulk(
         import math as _math
 
         counts = None
+        counts16 = None
         if n_total > 0:
             # PROBE-GRID REFINEMENT: the caller's grid is a storage
             # layout, not an obligation — kNN results are grid-invariant
@@ -663,25 +664,101 @@ def knn_join_bulk(
             # the blow-up grows with SF. Refine until the densest cell
             # holds <= max_pts_per_cell points, so per-cell blocks stay
             # bounded no matter how skewed the data is.
-            counts = pts.groupBy("cell_id").agg(F.count(F.lit(1)).alias("_n"))
-            mx = counts.agg(F.max("_n")).collect()[0][0] or 0
-            if mx > max_pts_per_cell:
-                f = min(
-                    16, int(_math.ceil(_math.sqrt(mx / max_pts_per_cell)))
-                )
-                grid = GridSpec(
+            #
+            # (r8) ONE full aggregation instead of two, for LARGE
+            # inputs: per-cell counts are computed once at the FINEST
+            # candidate refinement (f0=16) and persisted; the base-grid
+            # max (the refinement decision) and the chosen grid's counts
+            # both derive from it by in-plan rollups over <= |occupied
+            # fine cells| rows — exact (a parent's count is the sum of
+            # its children's). Measured at sf1.0: occupancy jobs shed
+            # ~0.5-1s AND the pow2-snapped finer refinement (16 vs 10)
+            # shrinks the kernel's distance blocks (round 4.6-7s ->
+            # 3.4-3.8s). Below the size gate the fine-grid aggregation's
+            # extra key space costs more than the saved second scan
+            # (sf0.1 measured +0.7-1s), so small inputs keep the
+            # two-aggregation path. The refine factor under the fused
+            # path is snapped to the next power of two so it divides f0
+            # (a stronger refinement than the ceil(sqrt) value is
+            # always safe — results are grid-invariant).
+            fuse_counts = n_total >= 400_000
+            if fuse_counts:
+                f0 = 16
+                grid16 = GridSpec(
                     grid.x0,
                     grid.y0,
-                    grid.cell_w / f,
-                    grid.cell_h / f,
-                    grid.nx * f,
-                    grid.ny * f,
+                    grid.cell_w / f0,
+                    grid.cell_h / f0,
+                    grid.nx * f0,
+                    grid.ny * f0,
                 )
-                stats["refine_factor"] = f
-                pts = _assign(grid)
+                counts16 = (
+                    _assign(grid16)
+                    .groupBy("cell_id")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .persist()
+                )
+                nx16 = grid16.nx
+                base_nx = grid.nx  # captured BEFORE grid is rebound
+
+                def _roll(fto: int) -> DataFrame:
+                    # rollup fine counts to the fto-grid (fto divides
+                    # f0); cx16/cy16 < 2^26, exact under float64 floor
+                    s = f0 // fto
+                    cx16 = F.col("cell_id") % nx16
+                    cy16 = F.floor(F.col("cell_id") / F.lit(nx16))
+                    cell_f = (
+                        F.floor(cx16 / F.lit(s))
+                        + F.lit(base_nx * fto) * F.floor(cy16 / F.lit(s))
+                    ).cast("long")
+                    return counts16.groupBy(cell_f.alias("cell_id")).agg(
+                        F.sum("_n").alias("_n")
+                    )
+
+                # ONE action: base-grid max (materializes counts16 too)
+                mx = _roll(1).agg(F.max("_n")).collect()[0][0] or 0
+                if mx > max_pts_per_cell:
+                    f = min(
+                        16,
+                        int(_math.ceil(_math.sqrt(mx / max_pts_per_cell))),
+                    )
+                    f = 1 << (f - 1).bit_length()  # next pow2 | f0
+                    grid = GridSpec(
+                        grid.x0,
+                        grid.y0,
+                        grid.cell_w / f,
+                        grid.cell_h / f,
+                        grid.nx * f,
+                        grid.ny * f,
+                    )
+                    stats["refine_factor"] = f
+                    pts = _assign(grid)
+                    counts = counts16 if f == f0 else _roll(f)
+                else:
+                    counts = _roll(1)
+            else:
                 counts = pts.groupBy("cell_id").agg(
                     F.count(F.lit(1)).alias("_n")
                 )
+                mx = counts.agg(F.max("_n")).collect()[0][0] or 0
+                if mx > max_pts_per_cell:
+                    f = min(
+                        16,
+                        int(_math.ceil(_math.sqrt(mx / max_pts_per_cell))),
+                    )
+                    grid = GridSpec(
+                        grid.x0,
+                        grid.y0,
+                        grid.cell_w / f,
+                        grid.cell_h / f,
+                        grid.nx * f,
+                        grid.ny * f,
+                    )
+                    stats["refine_factor"] = f
+                    pts = _assign(grid)
+                    counts = pts.groupBy("cell_id").agg(
+                        F.count(F.lit(1)).alias("_n")
+                    )
         mx_eff = mx if counts is not None else None
         if counts is not None:
             # reused every round (occupied-cell probe prune) and by the
@@ -924,6 +1001,8 @@ def knn_join_bulk(
         first_pending.unpersist(False)
         if counts is not None:
             counts.unpersist(False)
+        if counts16 is not None and counts16 is not counts:
+            counts16.unpersist(False)
         pts_base.unpersist(False)
         phase["finalize_sec"] = round(_time.perf_counter() - _t0, 3)
         return out
